@@ -1,0 +1,300 @@
+"""Denoising loops as ``lax.scan``-compiled pure step functions.
+
+The reference runs Python for-loops that call the model once per step with a
+mutable text-emb cache (kandinsky2/model/gaussian_diffusion.py:427-475,
+kandinsky2/model/samplers.py:205-331, 474-637).  Here each sampler family is a
+pure ``step(x, index) -> x`` function scanned on device, so an entire
+prior/decoder denoising trajectory compiles to one XLA program.  Conditioning
+is encoded once by the caller and closed over by ``model_fn``; classifier-free
+guidance batch-doubling happens inside ``model_fn``.
+
+``model_fn(x, t_model)`` contract:
+  * ``x``: current sample, batch ``B`` (the *useful* half; CFG doubling is the
+    model_fn's business).
+  * ``t_model``: float32 [B] timestep values as the network expects them
+    (already mapped through timestep_map / rescaled).
+  * returns the (already guidance-mixed) model output, with variance channels
+    when the sampler needs them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import schedules as _sched
+from .gaussian import (
+    MeanType,
+    Schedule,
+    VarType,
+    extract,
+    p_mean_variance,
+    predict_eps_from_xstart,
+)
+
+__all__ = [
+    "p_sample_loop",
+    "ddim_respaced_loop",
+    "DDIMTables",
+    "make_ddim_tables",
+    "ddim_loop",
+    "plms_loop",
+]
+
+
+def _step_noise(rng, noise_seq, i_pos, shape, dtype):
+    """Per-step noise: from an injected sequence (parity tests) or fold_in."""
+    if noise_seq is not None:
+        return noise_seq[i_pos]
+    return jax.random.normal(jax.random.fold_in(rng, i_pos), shape, dtype)
+
+
+def p_sample_loop(
+    model_fn: Callable,
+    sched: Schedule,
+    x_T: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    mean_type: MeanType = MeanType.EPSILON,
+    var_type: VarType = VarType.LEARNED_RANGE,
+    clip_denoised: bool = True,
+    denoised_fn: Optional[Callable] = None,
+    init_step: Optional[int] = None,
+    noise_seq: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Ancestral sampling loop (gaussian_diffusion.py:352-475) as one scan.
+
+    ``init_step`` truncates the ladder for img2img
+    (gaussian_diffusion.py:453-455). ``noise_seq`` optionally injects the
+    per-step Gaussian noise ([num_steps, *x.shape], ordered from t=T-1 down)
+    for bit-exact comparison against the reference.
+    """
+    num = sched.num_timesteps if init_step is None else init_step
+    indices = jnp.arange(num - 1, -1, -1, dtype=jnp.int32)
+    B = x_T.shape[0]
+
+    def step(x, scan_in):
+        pos, i = scan_in
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        model_out = model_fn(x, sched.model_timesteps(t))
+        out = p_mean_variance(
+            sched,
+            model_out.astype(jnp.float32),
+            x,
+            t,
+            mean_type=mean_type,
+            var_type=var_type,
+            clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+        )
+        noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
+        nonzero = (t != 0).astype(x.dtype).reshape((B,) + (1,) * (x.ndim - 1))
+        sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
+        return sample, None
+
+    positions = jnp.arange(num, dtype=jnp.int32)
+    x, _ = jax.lax.scan(step, x_T.astype(jnp.float32), (positions, indices))
+    return x
+
+
+def ddim_respaced_loop(
+    model_fn: Callable,
+    sched: Schedule,
+    x_T: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    mean_type: MeanType = MeanType.EPSILON,
+    var_type: VarType = VarType.LEARNED_RANGE,
+    clip_denoised: bool = True,
+    denoised_fn: Optional[Callable] = None,
+    eta: float = 0.0,
+    noise_seq: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """DDIM over a respaced schedule (gaussian_diffusion.py:477-635).
+
+    Used by the prior when ``timestep_respacing`` starts with "ddim"."""
+    num = sched.num_timesteps
+    indices = jnp.arange(num - 1, -1, -1, dtype=jnp.int32)
+    B = x_T.shape[0]
+
+    def step(x, scan_in):
+        pos, i = scan_in
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        model_out = model_fn(x, sched.model_timesteps(t))
+        out = p_mean_variance(
+            sched,
+            model_out.astype(jnp.float32),
+            x,
+            t,
+            mean_type=mean_type,
+            var_type=var_type,
+            clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+        )
+        eps = predict_eps_from_xstart(sched, x, t, out["pred_xstart"])
+        nd = x.ndim
+        alpha_bar = extract(sched.alphas_cumprod, t, nd)
+        alpha_bar_prev = extract(sched.alphas_cumprod_prev, t, nd)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+            * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+        )
+        mean_pred = (
+            out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
+            + jnp.sqrt(1 - alpha_bar_prev - sigma**2) * eps
+        )
+        if eta == 0.0:
+            return mean_pred, None
+        noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
+        nonzero = (t != 0).astype(x.dtype).reshape((B,) + (1,) * (nd - 1))
+        return mean_pred + nonzero * sigma * noise, None
+
+    positions = jnp.arange(num, dtype=jnp.int32)
+    x, _ = jax.lax.scan(step, x_T.astype(jnp.float32), (positions, indices))
+    return x
+
+
+class DDIMTables(NamedTuple):
+    """Per-ladder-step constants for the standalone DDIM/PLMS samplers
+    (samplers.py:82-149), precomputed host-side in float64."""
+
+    timesteps: jnp.ndarray  # int32 [S] ladder values fed to the model
+    alphas: jnp.ndarray  # float32 [S]
+    alphas_prev: jnp.ndarray
+    sqrt_one_minus_alphas: jnp.ndarray
+    sigmas: jnp.ndarray
+
+
+def make_ddim_tables(
+    base_alphas_cumprod: np.ndarray,
+    num_steps: int,
+    *,
+    num_ddpm_steps: int = 1000,
+    eta: float = 0.0,
+    init_step: Optional[int] = None,
+) -> DDIMTables:
+    """Build the ladder + tables used by DDIMSampler/PLMSSampler.make_schedule
+    (samplers.py:82-149), including img2img truncation (samplers.py:11-18)."""
+    if len(base_alphas_cumprod) != num_ddpm_steps:
+        raise ValueError(
+            "make_ddim_tables needs the *base* (un-respaced) alphas_cumprod of "
+            f"length {num_ddpm_steps}, got {len(base_alphas_cumprod)}; pass the "
+            "full-process schedule, not a respaced one"
+        )
+    ladder = _sched.ddim_ladder(num_steps, num_ddpm_steps, init_step=init_step)
+    sigmas, alphas, alphas_prev = _sched.ddim_sampling_parameters(
+        np.asarray(base_alphas_cumprod, dtype=np.float64), ladder, eta
+    )
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return DDIMTables(
+        timesteps=jnp.asarray(ladder, dtype=jnp.int32),
+        alphas=f32(alphas),
+        alphas_prev=f32(alphas_prev),
+        sqrt_one_minus_alphas=f32(np.sqrt(1.0 - alphas)),
+        sigmas=f32(sigmas),
+    )
+
+
+def _ddim_update(tables: DDIMTables, x, e_t, index, noise):
+    """x_{t-1} from eps at ladder ``index`` (samplers.py:310-331)."""
+    nd = x.ndim
+    shp = (1,) * nd
+    a_t = tables.alphas[index].reshape(shp)
+    a_prev = tables.alphas_prev[index].reshape(shp)
+    sigma_t = tables.sigmas[index].reshape(shp)
+    sqrt_one_minus_at = tables.sqrt_one_minus_alphas[index].reshape(shp)
+    pred_x0 = (x - sqrt_one_minus_at * e_t) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t**2) * e_t
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma_t * noise
+    return x_prev, pred_x0
+
+
+def ddim_loop(
+    model_fn: Callable,
+    tables: DDIMTables,
+    x_T: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    eta: float = 0.0,
+    noise_seq: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Latent-diffusion-style DDIM loop (samplers.py:205-331), scanned.
+
+    ``model_fn`` returns eps only (guidance already applied)."""
+    total = int(tables.timesteps.shape[0])
+    B = x_T.shape[0]
+
+    def step(x, pos):
+        index = total - pos - 1
+        ts = jnp.full((B,), tables.timesteps[index], dtype=jnp.float32)
+        e_t = model_fn(x, ts).astype(jnp.float32)
+        if eta == 0.0:
+            noise = jnp.zeros_like(x)
+        else:
+            noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
+        x_prev, _ = _ddim_update(tables, x, e_t, index, noise)
+        return x_prev, None
+
+    x, _ = jax.lax.scan(
+        step, x_T.astype(jnp.float32), jnp.arange(total, dtype=jnp.int32)
+    )
+    return x
+
+
+def plms_loop(
+    model_fn: Callable,
+    tables: DDIMTables,
+    x_T: jnp.ndarray,
+) -> jnp.ndarray:
+    """PLMS (pseudo linear multistep) loop (samplers.py:474-637), scanned with
+    a fixed-size eps-history buffer instead of a Python list.
+
+    The first step's "pseudo improved Euler" needs a second model eval at
+    ``t_next``; it is unrolled outside the scan so the scanned body stays a
+    single model eval. PLMS is always eta=0 (samplers.py:356-357).
+    """
+    total = int(tables.timesteps.shape[0])
+    B = x_T.shape[0]
+    x = x_T.astype(jnp.float32)
+    zero_noise = jnp.zeros_like(x)
+
+    def eval_model(x, index):
+        ts = jnp.full((B,), tables.timesteps[index], dtype=jnp.float32)
+        return model_fn(x, ts).astype(jnp.float32)
+
+    # --- step 0 unrolled: improved Euler (samplers.py:618-622) ---
+    index0 = total - 1
+    e_t = eval_model(x, index0)
+    x_prev0, _ = _ddim_update(tables, x, e_t, index0, zero_noise)
+    index_next = max(total - 2, 0)
+    e_t_next = eval_model(x_prev0, index_next)
+    e_t_prime = (e_t + e_t_next) / 2
+    x, _ = _ddim_update(tables, x, e_t_prime, index0, zero_noise)
+
+    # history: most recent last; padded with zeros, count tracks validity
+    hist = jnp.stack([zero_noise, zero_noise, e_t])
+
+    def step(carry, pos):
+        x, hist = carry
+        index = total - pos - 1
+        e_t = eval_model(x, index)
+        n_old = jnp.minimum(pos, 3)  # number of valid history entries
+        # Adams-Bashforth blends by history length (samplers.py:623-633)
+        ab2 = (3 * e_t - hist[2]) / 2
+        ab3 = (23 * e_t - 16 * hist[2] + 5 * hist[1]) / 12
+        ab4 = (55 * e_t - 59 * hist[2] + 37 * hist[1] - 9 * hist[0]) / 24
+        e_t_prime = jnp.where(n_old == 1, ab2, jnp.where(n_old == 2, ab3, ab4))
+        x_prev, _ = _ddim_update(tables, x, e_t_prime, index, zero_noise)
+        hist = jnp.stack([hist[1], hist[2], e_t])
+        return (x_prev, hist), None
+
+    if total > 1:
+        (x, _), _ = jax.lax.scan(
+            step, (x, hist), jnp.arange(1, total, dtype=jnp.int32)
+        )
+    return x
