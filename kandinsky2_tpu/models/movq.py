@@ -1,0 +1,402 @@
+"""MoVQ / VQGAN latent codecs, TPU-native (NHWC, flax).
+
+Reimplements the reference's three latent codecs (kandinsky2/vqgan/):
+
+* ``Encoder`` / ``Decoder``  — CompVis conv encoder/decoder (vqgan_blocks.py:253,370)
+* ``MOVQDecoder``            — decoder whose every norm is a SpatialNorm
+                               modulated by the quantized latent (movq_modules.py:34-68,228)
+* ``VectorQuantizer``        — L2 nearest-codebook lookup (quntize.py:80-131)
+* ``MOVQ`` / ``AutoencoderKL`` / ``VQModelInterface`` facades (autoencoder.py)
+
+Module names mirror the torch state_dict exactly so weights convert
+mechanically.  All spatial tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    GroupNorm32,
+    avg_pool_2x,
+    conv2d,
+    dense,
+    resize_nearest,
+    upsample_nearest_2x,
+)
+
+Dtype = Any
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class SpatialNorm(nn.Module):
+    """norm(f) * conv_y(zq) + conv_b(zq), zq nearest-resized to f
+    (movq_modules.py:34-68)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
+        zq = resize_nearest(zq, f.shape[1:3])
+        norm_f = GroupNorm32(num_groups=32, eps=1e-6, name="norm_layer")(f)
+        conv_y = dense(f.shape[-1], "conv_y", self.dtype)
+        conv_b = dense(f.shape[-1], "conv_b", self.dtype)
+        return norm_f * conv_y(zq) + conv_b(zq)
+
+
+def _norm(spatial: bool, name: str, dtype, x, zq=None):
+    """GroupNorm(32, eps=1e-6) or SpatialNorm depending on whether this codec
+    is zq-modulated (movq_modules.Normalize vs vqgan_blocks.Normalize).
+    Constructed inline so the flax path equals the torch module path."""
+    if spatial:
+        return SpatialNorm(dtype=dtype, name=name)(x, zq)
+    return GroupNorm32(num_groups=32, eps=1e-6, name=name)(x)
+
+
+class ResnetBlock(nn.Module):
+    """vqgan_blocks.ResnetBlock:129 / movq_modules.ResnetBlock:120 (temb is
+    always absent in these codecs: temb_ch=0)."""
+
+    in_channels: int
+    out_channels: int
+    spatial_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None):
+        h = _norm(self.spatial_norm, "norm1", self.dtype, x, zq)
+        h = swish(h)
+        h = conv2d(self.out_channels, "conv1", dtype=self.dtype)(h)
+        h = _norm(self.spatial_norm, "norm2", self.dtype, h, zq)
+        h = swish(h)
+        h = conv2d(self.out_channels, "conv2", dtype=self.dtype)(h)
+        if self.in_channels != self.out_channels:
+            x = dense(self.out_channels, "nin_shortcut", self.dtype)(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full spatial self-attention (vqgan_blocks.py:196-239 /
+    movq_modules.py:182-225); fp32 softmax."""
+
+    spatial_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None):
+        B, H, W, C = x.shape
+        h = _norm(self.spatial_norm, "norm", self.dtype, x, zq)
+        q = dense(C, "q", self.dtype)(h).reshape(B, H * W, C)
+        k = dense(C, "k", self.dtype)(h).reshape(B, H * W, C)
+        v = dense(C, "v", self.dtype)(h).reshape(B, H * W, C)
+        logits = jnp.einsum("btc,bsc->bts", q, k, preferred_element_type=jnp.float32)
+        logits = logits * (C ** -0.5)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bts,bsc->btc", w, v).reshape(B, H, W, C)
+        out = dense(C, "proj_out", self.dtype)(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Asymmetric-pad strided conv downsample (vqgan_blocks.py:109-126)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return conv2d(self.channels, "conv", stride=2, padding=0, dtype=self.dtype)(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + conv (vqgan_blocks.py:93-106)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv2d(self.channels, "conv", dtype=self.dtype)(upsample_nearest_2x(x))
+
+
+class Encoder(nn.Module):
+    """Conv encoder (vqgan_blocks.Encoder:253-367)."""
+
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    z_channels: int = 4
+    double_z: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        num_res = len(self.ch_mult)
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+        h = conv2d(self.ch, "conv_in", dtype=self.dtype)(x)
+        curr_res = self.resolution
+        for i_level in range(num_res):
+            block_in = self.ch * in_ch_mult[i_level]
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(
+                    block_in, block_out, dtype=self.dtype,
+                    name=f"down.{i_level}.block.{i_block}",
+                )(h)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(
+                        dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}"
+                    )(h)
+            if i_level != num_res - 1:
+                h = Downsample(
+                    block_in, dtype=self.dtype, name=f"down.{i_level}.downsample"
+                )(h)
+                curr_res //= 2
+        h = ResnetBlock(block_in, block_in, dtype=self.dtype, name="mid.block_1")(h)
+        h = AttnBlock(dtype=self.dtype, name="mid.attn_1")(h)
+        h = ResnetBlock(block_in, block_in, dtype=self.dtype, name="mid.block_2")(h)
+        h = GroupNorm32(num_groups=32, eps=1e-6, name="norm_out")(h)
+        h = swish(h)
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        return conv2d(out_ch, "conv_out", dtype=self.dtype)(h)
+
+
+class Decoder(nn.Module):
+    """Conv decoder; ``spatial_norm=True`` makes it the MOVQDecoder
+    (vqgan_blocks.Decoder:370-499 / movq_modules.MOVQDecoder:228-357)."""
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    spatial_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, zq=None):
+        num_res = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[num_res - 1]
+        curr_res = self.resolution // 2 ** (num_res - 1)
+        h = conv2d(block_in, "conv_in", dtype=self.dtype)(z)
+        h = ResnetBlock(
+            block_in, block_in, self.spatial_norm, self.dtype, name="mid.block_1"
+        )(h, zq)
+        h = AttnBlock(self.spatial_norm, self.dtype, name="mid.attn_1")(h, zq)
+        h = ResnetBlock(
+            block_in, block_in, self.spatial_norm, self.dtype, name="mid.block_2"
+        )(h, zq)
+        for i_level in reversed(range(num_res)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(
+                    block_in, block_out, self.spatial_norm, self.dtype,
+                    name=f"up.{i_level}.block.{i_block}",
+                )(h, zq)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(
+                        self.spatial_norm, self.dtype,
+                        name=f"up.{i_level}.attn.{i_block}",
+                    )(h, zq)
+            if i_level != 0:
+                h = Upsample(
+                    block_in, dtype=self.dtype, name=f"up.{i_level}.upsample"
+                )(h)
+                curr_res *= 2
+        h = _norm(self.spatial_norm, "norm_out", self.dtype, h, zq)
+        h = swish(h)
+        return conv2d(self.out_ch, "conv_out", dtype=self.dtype)(h)
+
+
+class VectorQuantizer(nn.Module):
+    """L2 nearest-codebook lookup with straight-through estimator
+    (quntize.py:80-131)."""
+
+    n_e: int = 16384
+    e_dim: int = 4
+
+    def setup(self):
+        # torch path: quantize.embedding.weight (an nn.Embedding)
+        self.embedding = nn.Embed(
+            self.n_e,
+            self.e_dim,
+            embedding_init=nn.initializers.uniform(scale=2.0 / self.n_e),
+            param_dtype=jnp.float32,
+            name="embedding",
+        )
+
+    def __call__(self, z):
+        # z: NHWC with C == e_dim.  Fused argmin(‖z‖²+‖e‖²−2z·e) + gather.
+        emb = self.embedding.embedding
+        flat = z.reshape(-1, self.e_dim).astype(jnp.float32)
+        d = (
+            jnp.sum(flat**2, axis=1, keepdims=True)
+            + jnp.sum(emb**2, axis=1)[None, :]
+            - 2.0 * flat @ emb.T
+        )
+        idx = jnp.argmin(d, axis=1)
+        z_q = emb[idx].reshape(z.shape).astype(z.dtype)
+        z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+        return z_q, idx.reshape(z.shape[:-1])
+
+    def lookup(self, indices):
+        return self.embedding(indices)
+
+
+class MOVQ(nn.Module):
+    """MoVQ facade (autoencoder.py:160-201): ``encode`` returns the
+    *pre-quantization* latent (the 2.1 pipeline never quantizes on encode,
+    autoencoder.py:176-180); ``decode`` modulates the decoder with the latent
+    itself."""
+
+    z_channels: int = 4
+    embed_dim: int = 4
+    n_embed: int = 16384
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    out_ch: int = 3
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            z_channels=self.z_channels, double_z=False, dtype=self.dtype,
+            name="encoder",
+        )
+        self.decoder = Decoder(
+            ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            spatial_norm=True, dtype=self.dtype, name="decoder",
+        )
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, name="quantize")
+        self.quant_conv = dense(self.embed_dim, "quant_conv", self.dtype)
+        self.post_quant_conv = dense(self.z_channels, "post_quant_conv", self.dtype)
+
+    def encode(self, x):
+        return self.quant_conv(self.encoder(x))
+
+    def decode(self, quant):
+        quant2 = self.post_quant_conv(quant)
+        return self.decoder(quant2, zq=quant)
+
+    def decode_code(self, code):
+        quant = self.quantize.lookup(code).astype(self.dtype)
+        return self.decode(quant)
+
+    def __call__(self, x):
+        h = self.encode(x)
+        # The 2.1 inference path never quantizes (autoencoder.py:176-180), but
+        # the codebook is part of the checkpoint; touch it so init creates it.
+        self.quantize(h)
+        return self.decode(h)
+
+
+class AutoencoderKL(nn.Module):
+    """KL-VAE used by Kandinsky 2.0 (autoencoder.py:110-157).
+
+    ``encode`` returns (mean, logvar); ``decode`` maps latents to images."""
+
+    z_channels: int = 4
+    embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 256
+    out_ch: int = 3
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            z_channels=self.z_channels, double_z=True, dtype=self.dtype,
+            name="encoder",
+        )
+        self.decoder = Decoder(
+            ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            spatial_norm=False, dtype=self.dtype, name="decoder",
+        )
+        self.quant_conv = dense(2 * self.embed_dim, "quant_conv", self.dtype)
+        self.post_quant_conv = dense(self.z_channels, "post_quant_conv", self.dtype)
+
+    def encode(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def sample_posterior(self, x, rng):
+        mean, logvar = self.encode(x)
+        return mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            rng, mean.shape, mean.dtype
+        )
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x):
+        mean, _ = self.encode(x)
+        return self.decode(mean)
+
+
+class VQModelInterface(nn.Module):
+    """Plain VQ codec (autoencoder.py:89-107)."""
+
+    z_channels: int = 4
+    embed_dim: int = 4
+    n_embed: int = 16384
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    out_ch: int = 3
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            z_channels=self.z_channels, double_z=False, dtype=self.dtype,
+            name="encoder",
+        )
+        self.decoder = Decoder(
+            ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            spatial_norm=False, dtype=self.dtype, name="decoder",
+        )
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, name="quantize")
+        self.quant_conv = dense(self.embed_dim, "quant_conv", self.dtype)
+        self.post_quant_conv = dense(self.z_channels, "post_quant_conv", self.dtype)
+
+    def encode(self, x):
+        return self.quant_conv(self.encoder(x))
+
+    def decode(self, h, force_not_quantize: bool = False):
+        if not force_not_quantize:
+            h, _ = self.quantize(h)
+        return self.decoder(self.post_quant_conv(h))
+
+    def __call__(self, x):
+        return self.decode(self.encode(x))

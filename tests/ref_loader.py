@@ -54,8 +54,21 @@ def ref_model(name: str):
     return importlib.import_module(f"refk_model.{name}")
 
 
+def stub_pytorch_lightning() -> None:
+    """autoencoder.py subclasses pl.LightningModule; nn.Module suffices."""
+    if "pytorch_lightning" in sys.modules:
+        return
+    import torch
+
+    pl = types.ModuleType("pytorch_lightning")
+    pl.LightningModule = torch.nn.Module
+    pl.LightningDataModule = object
+    sys.modules["pytorch_lightning"] = pl
+
+
 def ref_vqgan(name: str):
     """Import ``kandinsky2/vqgan/<name>.py`` from the reference."""
+    stub_pytorch_lightning()
     _ensure_pkg("refk_vqgan", REF_VQGAN)
     return importlib.import_module(f"refk_vqgan.{name}")
 

@@ -1,0 +1,117 @@
+"""Parity: MoVQ / KL-VAE codecs vs the torch reference (kandinsky2/vqgan/*)
+with tiny random-initialized configs and mechanically-converted weights."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from kandinsky2_tpu.models import movq as jmovq
+from kandinsky2_tpu.weights.convert import convert_state_dict, unused_torch_keys
+
+from ref_loader import ref_vqgan
+
+refae = ref_vqgan("autoencoder")
+
+TINY = dict(
+    double_z=False,
+    z_channels=4,
+    resolution=16,
+    in_channels=3,
+    out_ch=3,
+    ch=32,
+    ch_mult=[1, 2],
+    num_res_blocks=1,
+    attn_resolutions=[8],
+    dropout=0.0,
+)
+
+
+def nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def movq_pair():
+    torch.manual_seed(0)
+    ref = refae.MOVQ(TINY, n_embed=64, embed_dim=4).eval()
+    ours = jmovq.MOVQ(
+        z_channels=4, embed_dim=4, n_embed=64, ch=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), resolution=16,
+    )
+    x = jnp.zeros((1, 16, 16, 3))
+    params = ours.init(jax.random.PRNGKey(0), x)["params"]
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params = convert_state_dict(sd, params)
+    assert not unused_torch_keys(sd, params)
+    return ref, ours, {"params": params}
+
+
+def test_movq_encode(movq_pair):
+    ref, ours, variables = movq_pair
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref.encode(torch.tensor(nchw(x))).numpy()
+    got = ours.apply(variables, jnp.asarray(x), method=ours.encode)
+    np.testing.assert_allclose(nhwc(theirs), np.asarray(got), atol=2e-4)
+
+
+def test_movq_decode(movq_pair):
+    ref, ours, variables = movq_pair
+    rng = np.random.RandomState(1)
+    quant = rng.randn(2, 8, 8, 4).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref.decode(torch.tensor(nchw(quant))).numpy()
+    got = ours.apply(variables, jnp.asarray(quant), method=ours.decode)
+    np.testing.assert_allclose(nhwc(theirs), np.asarray(got), atol=5e-4)
+
+
+def test_vector_quantizer(movq_pair):
+    ref, ours, variables = movq_pair
+    rng = np.random.RandomState(2)
+    z = (rng.randn(1, 8, 8, 4) * 0.05).astype(np.float32)
+    with torch.no_grad():
+        zq_t, _, (_, _, idx_t) = ref.quantize(torch.tensor(nchw(z)))
+    vq = jmovq.VectorQuantizer(64, 4)
+    zq_j, idx_j = vq.apply(
+        {"params": variables["params"]["quantize"]}, jnp.asarray(z)
+    )
+    np.testing.assert_allclose(nhwc(zq_t.numpy()), np.asarray(zq_j), atol=1e-5)
+    np.testing.assert_array_equal(idx_t.numpy(), np.asarray(idx_j).reshape(-1))
+
+
+def test_autoencoder_kl():
+    torch.manual_seed(3)
+    cfg = dict(TINY, double_z=True, attn_resolutions=[])
+    ref = refae.AutoencoderKL(cfg, embed_dim=4).eval()
+    ours = jmovq.AutoencoderKL(
+        z_channels=4, embed_dim=4, ch=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(), resolution=16,
+    )
+    x0 = jnp.zeros((1, 16, 16, 3))
+    params = ours.init(jax.random.PRNGKey(0), x0)["params"]
+    params = convert_state_dict(dict(ref.state_dict()), params)
+    variables = {"params": params}
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        post = ref.encode(torch.tensor(nchw(x)))
+    mean_j, logvar_j = ours.apply(variables, jnp.asarray(x), method=ours.encode)
+    np.testing.assert_allclose(nhwc(post.mean.numpy()), np.asarray(mean_j), atol=2e-4)
+    np.testing.assert_allclose(
+        nhwc(post.logvar.numpy()), np.asarray(logvar_j), atol=2e-4
+    )
+
+    z = rng.randn(2, 8, 8, 4).astype(np.float32)
+    with torch.no_grad():
+        dec_t = ref.decode(torch.tensor(nchw(z))).numpy()
+    dec_j = ours.apply(variables, jnp.asarray(z), method=ours.decode)
+    np.testing.assert_allclose(nhwc(dec_t), np.asarray(dec_j), atol=5e-4)
