@@ -1,0 +1,64 @@
+"""Attention compute ops.
+
+The semantic spec is the reference's einsum attention (kandinsky2/model/
+unet.py:334-340): pre-scale q and k by 1/sqrt(sqrt(head_dim)) (more stable in
+low precision than dividing the logits), softmax in fp32.
+
+``qkv_attention`` is the single swap point: the XLA einsum path below is the
+correctness reference; ``kandinsky2_tpu.ops.flash_attention`` provides the
+Pallas TPU kernel used for large spatial sequences (selected via
+``impl="flash"`` or automatically by size).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, mask=None):
+    """q: [B,T,H,c], k/v: [B,S,H,c]; mask: additive [B,(H,)T,S] or None."""
+    ch = q.shape[-1]
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    logits = jnp.einsum(
+        "bthc,bshc->bhts", q * scale, k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        if mask.ndim == 3:
+            mask = mask[:, None]
+        logits = logits + mask.astype(jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshc->bthc", w, v)
+
+
+def qkv_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention.
+
+    Args:
+      q: [B, T, H, ch]
+      k, v: [B, S, H, ch]
+      mask: optional additive mask, [B, T, S] or [B, H, T, S]
+      impl: "xla" | "flash" | "auto" (flash for long unmasked sequences when
+        the Pallas kernel is usable on this backend)
+    Returns: [B, T, H, ch]
+    """
+    if impl == "flash" or (
+        impl == "auto" and mask is None and q.shape[1] >= 4096
+    ):
+        try:
+            from .flash_attention import flash_attention
+
+            return flash_attention(q, k, v)
+        except Exception:
+            pass  # fall back to XLA path (e.g. CPU tests)
+    return _xla_attention(q, k, v, mask)
