@@ -1,0 +1,135 @@
+"""End-to-end benchmark: Kandinsky 2.1 text2img at 768², 50 decoder steps
+(DDIM) + 25 prior steps + MoVQ decode, batch 1, bf16, real model sizes
+(prior 1B, UNet 1.22B, MoVQ 67M, XLM-R 560M, CLIP ViT-L 427M), random weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup vs the 4 s/image BASELINE.json target (>1 beats it).
+
+Usage: python bench.py [--small] [--steps N] [--res R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def stub_tokenizers():
+    class HFTok:
+        def __call__(self, texts, max_length=77, **kw):
+            n = len(texts)
+            ids = np.ones((n, max_length), np.int32)
+            mask = np.zeros((n, max_length), np.int32)
+            for i, t in enumerate(texts):
+                L = min(max_length, 2 + len(t.split()))
+                ids[i, :L] = 5 + (np.arange(L) % 1000)
+                mask[i, :L] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    class BPETok:
+        def padded_tokens_and_mask(self, texts, ctx):
+            n = len(texts)
+            toks = np.zeros((n, ctx), np.int32)
+            mask = np.zeros((n, ctx), bool)
+            for i, t in enumerate(texts):
+                L = min(ctx, 2 + len(t))
+                toks[i, :L] = 1 + (np.arange(L) % 49000)
+                mask[i, :L] = True
+            return toks, mask
+
+    return HFTok(), BPETok()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="tiny config smoke run")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--res", type=int, default=768)
+    ap.add_argument("--sampler", default="ddim_sampler")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from kandinsky2_tpu.configs import CONFIG_2_1, deep_copy_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    cfg = deep_copy_config(CONFIG_2_1)
+    if args.small:
+        mc = cfg["model_config"]
+        mc.update(
+            num_channels=64, num_res_blocks=1, channel_mult="1,2",
+            attention_resolutions="32", num_head_channels=32, model_dim=64,
+            text_encoder_in_dim1=48, text_encoder_in_dim2=64,
+            image_encoder_in_dim=64, num_image_embs=2,
+        )
+        cfg["prior"]["params"]["model"]["hparams"].update(
+            text_ctx=8, xf_width=128, xf_layers=2, xf_heads=4, clip_dim=64,
+            clip_xf_width=64,
+        )
+        cfg["clip_text_params"] = dict(
+            vocab_size=256, context_length=8, width=64, layers=2, heads=4,
+            embed_dim=64,
+        )
+        cfg["clip_vision_params"] = dict(
+            image_size=28, patch_size=14, width=64, layers=2, heads=4,
+            embed_dim=64,
+        )
+        cfg["clip_image_size"] = 28
+        cfg["text_enc_params"].update(
+            in_features=48, out_features=64, layers=2, heads=4,
+            intermediate=96, vocab_size=256, max_positions=40,
+        )
+        ie = cfg["image_enc_params"]["params"]
+        ie["n_embed"] = 64
+        ie["ddconfig"].update(
+            ch=32, ch_mult=[1, 1, 1, 2], num_res_blocks=1,
+            attn_resolutions=[8], resolution=64,
+        )
+
+    tok1, tok2 = stub_tokenizers()
+    pipe = Kandinsky2_1(
+        config=cfg, tokenizer1=tok1, tokenizer2=tok2, dtype=jnp.bfloat16
+    )
+    t0 = time.time()
+    pipe.init_random_params(cast=jnp.bfloat16)
+    print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+    kw = dict(
+        num_steps=args.steps, batch_size=1, h=args.res, w=args.res,
+        sampler=args.sampler, prior_steps="25" if not args.small else "5",
+        guidance_scale=4,
+    )
+    t0 = time.time()
+    pipe.generate_text2img("a portrait of a cosmonaut riding a horse", **kw)
+    compile_time = time.time() - t0
+    print(f"# first call (compile+run) {compile_time:.1f}s", file=sys.stderr)
+
+    runs = []
+    for _ in range(3 if not args.small else 2):
+        t0 = time.time()
+        pipe.generate_text2img("red sand dunes under a violet sky", **kw)
+        runs.append(time.time() - t0)
+    value = float(min(runs))
+    print(f"# steady-state runs: {[f'{r:.3f}' for r in runs]}", file=sys.stderr)
+
+    target = 4.0
+    print(
+        json.dumps(
+            {
+                "metric": f"sec/image {args.res}^2 {args.steps}-step text2img "
+                "(prior+UNet+MoVQ e2e, bf16, 1 chip)",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": round(target / value, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

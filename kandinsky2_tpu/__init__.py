@@ -1,0 +1,65 @@
+"""kandinsky2_tpu — a TPU-native (JAX/XLA/Pallas) framework with the
+capabilities of ai-forever/Kandinsky-2.
+
+Public factory mirrors the reference (kandinsky2/__init__.py:164-192):
+
+    from kandinsky2_tpu import get_kandinsky2
+    model = get_kandinsky2(task_type="text2img", model_version="2.1")
+    images = model.generate_text2img("a red cat", num_steps=100)
+
+The ``device`` argument is accepted for API compatibility and ignored — JAX
+owns device placement (the default backend is the TPU).
+"""
+
+from .configs import CONFIG_2_0, CONFIG_2_1
+
+__version__ = "0.1.0"
+
+
+def get_kandinsky2_1(
+    device=None,
+    task_type: str = "text2img",
+    cache_dir: str = "/tmp/kandinsky2",
+    use_auth_token=None,
+    use_flash_attention: bool = True,
+    dtype=None,
+):
+    """Download + convert the 2.1 checkpoints and build the pipeline
+    (reference kandinsky2/__init__.py:90-161)."""
+    from .weights.hub import fetch_2_1
+    from .weights.load_kandinsky import build_kandinsky21
+
+    paths = fetch_2_1(cache_dir, task_type, use_auth_token)
+    return build_kandinsky21(paths, task_type=task_type, dtype=dtype)
+
+
+def get_kandinsky2(
+    device=None,
+    task_type: str = "text2img",
+    cache_dir: str = "/tmp/kandinsky2",
+    use_auth_token=None,
+    model_version: str = "2.1",
+    use_flash_attention: bool = True,
+    dtype=None,
+):
+    """Reference-compatible entry point (kandinsky2/__init__.py:164-192)."""
+    if model_version == "2.1":
+        return get_kandinsky2_1(
+            device, task_type=task_type, cache_dir=cache_dir,
+            use_auth_token=use_auth_token,
+            use_flash_attention=use_flash_attention, dtype=dtype,
+        )
+    if model_version == "2.2":
+        from .pipelines.kandinsky2_2 import Kandinsky2_2
+
+        # 2.2 checkpoints are diffusers-format; conversion of those repos is
+        # wired through weights.hub.KANDINSKY_22_REPOS.
+        return Kandinsky2_2(task_type=task_type)
+    if model_version == "2.0":
+        from .pipelines.kandinsky2_0 import get_kandinsky2_0
+
+        return get_kandinsky2_0(
+            device, task_type=task_type, cache_dir=cache_dir,
+            use_auth_token=use_auth_token, dtype=dtype,
+        )
+    raise ValueError("Only 2.0, 2.1 and 2.2 are available")

@@ -254,18 +254,21 @@ def p_mean_variance(
     var_type: VarType,
     clip_denoised: bool = True,
     denoised_fn: Optional[Callable] = None,
+    channel_axis: int = 1,
 ):
     """Compute p(x_{t-1} | x_t) stats from a model output
     (gaussian_diffusion.py:223-322), as a pure function — the model has
     already been applied by the caller.
 
+    ``channel_axis`` selects where the learned-variance channels live: 1 for
+    torch-layout arrays (parity tests), -1 for NHWC latents.
+
     Returns dict(mean, variance, log_variance, pred_xstart).
     """
     nd = x.ndim
-    C = x.shape[1]
 
     if var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
-        model_output, model_var_values = jnp.split(model_output, 2, axis=1)
+        model_output, model_var_values = jnp.split(model_output, 2, axis=channel_axis)
         if var_type == VarType.LEARNED:
             model_log_variance = model_var_values
             model_variance = jnp.exp(model_log_variance)
@@ -359,3 +362,85 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales):
 
 def mean_flat(x):
     return x.mean(axis=tuple(range(1, x.ndim)))
+
+
+def vb_terms_bpd(
+    sched: Schedule,
+    model_output: jnp.ndarray,
+    x_start: jnp.ndarray,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    mean_type: MeanType,
+    var_type: VarType,
+    channel_axis: int = 1,
+):
+    """Per-sample variational-bound term in bits (gaussian_diffusion.py:637-668):
+    KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)), decoder NLL at t=0."""
+    true_mean, _, true_logvar = q_posterior_mean_variance(sched, x_start, x_t, t)
+    out = p_mean_variance(
+        sched, model_output, x_t, t, mean_type=mean_type, var_type=var_type,
+        clip_denoised=False, channel_axis=channel_axis,
+    )
+    ln2 = float(np.log(2.0))
+    kl = mean_flat(
+        normal_kl(true_mean, true_logvar, out["mean"], out["log_variance"])
+    ) / ln2
+    decoder_nll = mean_flat(
+        -discretized_gaussian_log_likelihood(
+            x_start, means=out["mean"], log_scales=0.5 * out["log_variance"]
+        )
+    ) / ln2
+    return jnp.where(t == 0, decoder_nll, kl), out["pred_xstart"]
+
+
+def training_losses(
+    sched: Schedule,
+    model_fn: Callable,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+    *,
+    mean_type: MeanType = MeanType.EPSILON,
+    var_type: VarType = VarType.LEARNED_RANGE,
+    loss_type: LossType = LossType.RESCALED_MSE,
+    channel_axis: int = -1,
+):
+    """Hybrid MSE + (frozen-mean) VLB training loss
+    (gaussian_diffusion.py:670-742).  ``model_fn(x_t, t_model)`` applies the
+    network; returns dict(loss, mse, vb) of per-sample [B] terms."""
+    x_t = q_sample(sched, x_start, t, noise)
+    model_output = model_fn(x_t, sched.model_timesteps(t)).astype(jnp.float32)
+    terms = {}
+    if loss_type in (LossType.KL, LossType.RESCALED_KL):
+        vb, _ = vb_terms_bpd(
+            sched, model_output, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, channel_axis=channel_axis,
+        )
+        if loss_type == LossType.RESCALED_KL:
+            vb = vb * sched.num_timesteps
+        terms["loss"] = vb
+        return terms
+    if var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
+        mean_part, var_part = jnp.split(model_output, 2, axis=channel_axis)
+        # learn the variance with the VLB, without moving the mean
+        frozen = jnp.concatenate(
+            [jax.lax.stop_gradient(mean_part), var_part], axis=channel_axis
+        )
+        vb, _ = vb_terms_bpd(
+            sched, frozen, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, channel_axis=channel_axis,
+        )
+        if loss_type == LossType.RESCALED_MSE:
+            vb = vb * (sched.num_timesteps / 1000.0)
+        terms["vb"] = vb
+        model_output = mean_part
+    if mean_type == MeanType.EPSILON:
+        target = noise
+    elif mean_type == MeanType.START_X:
+        target = x_start
+    else:
+        target = q_posterior_mean_variance(sched, x_start, x_t, t)[0]
+    terms["mse"] = mean_flat((target - model_output) ** 2)
+    terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
+    return terms

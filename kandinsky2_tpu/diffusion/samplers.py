@@ -65,6 +65,7 @@ def p_sample_loop(
     denoised_fn: Optional[Callable] = None,
     init_step: Optional[int] = None,
     noise_seq: Optional[jnp.ndarray] = None,
+    channel_axis: int = 1,
 ) -> jnp.ndarray:
     """Ancestral sampling loop (gaussian_diffusion.py:352-475) as one scan.
 
@@ -90,6 +91,7 @@ def p_sample_loop(
             var_type=var_type,
             clip_denoised=clip_denoised,
             denoised_fn=denoised_fn,
+            channel_axis=channel_axis,
         )
         noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
         nonzero = (t != 0).astype(x.dtype).reshape((B,) + (1,) * (x.ndim - 1))
@@ -113,6 +115,7 @@ def ddim_respaced_loop(
     denoised_fn: Optional[Callable] = None,
     eta: float = 0.0,
     noise_seq: Optional[jnp.ndarray] = None,
+    channel_axis: int = 1,
 ) -> jnp.ndarray:
     """DDIM over a respaced schedule (gaussian_diffusion.py:477-635).
 
@@ -134,6 +137,7 @@ def ddim_respaced_loop(
             var_type=var_type,
             clip_denoised=clip_denoised,
             denoised_fn=denoised_fn,
+            channel_axis=channel_axis,
         )
         eps = predict_eps_from_xstart(sched, x, t, out["pred_xstart"])
         nd = x.ndim

@@ -137,6 +137,14 @@ def ddim_ladder(
     (samplers.py:33-51 plus the init_step truncation of samplers.py:11-18)."""
     if method == "uniform":
         steps = _ddim_uniform_steps(num_ddim_steps, num_ddpm_steps)
+        if steps[-1] >= num_ddpm_steps:
+            raise ValueError(
+                f"DDIM ladder for {num_ddim_steps} steps reaches t="
+                f"{steps[-1]} >= {num_ddpm_steps}; the +1-offset uniform "
+                "striding (reference samplers.py:33-51) only supports step "
+                "counts where (T//S)*ceil wraps below T — pick a count like "
+                "4, 5, 10, 25, 50, 100"
+            )
     elif method == "quad":
         steps = (
             np.linspace(0, np.sqrt(num_ddpm_steps * 0.8), num_ddim_steps) ** 2

@@ -1,0 +1,560 @@
+"""Kandinsky 2.1 pipeline — the flagship text→image stack, TPU-native.
+
+Public API mirrors the reference (kandinsky2/kandinsky2_1_model.py:21-548):
+``generate_text2img``, ``generate_img2img``, ``generate_inpainting``,
+``mix_images`` with the same signatures and defaults.
+
+TPU-first architecture (vs the reference's per-step Python loop):
+
+* Conditioning (CLIP text tower → prior → image emb; XLM-R text emb; UNet
+  conditioning projections) is encoded ONCE per call; the entire denoising
+  trajectory runs as a single ``lax.scan`` XLA program
+  (prior: 25 steps of the 1B transformer; decoder: N steps of the 1.22B UNet).
+* The sampler carries batch B; classifier-free guidance doubles the batch
+  inside the model closure only (kandinsky2_1_model.py:222-233 semantics,
+  without dragging a junk second half through the sampler).
+* Compiled executables are cached per (task, sampler, steps, latent shape,
+  batch) — resolutions are 64-px bucketed exactly like the reference
+  (kandinsky2_1_model.py:106-113), so a handful of XLA programs cover a
+  session.
+
+All image tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CONFIG_2_1, create_model, deep_copy_config, schedule_kwargs
+from ..diffusion import (
+    MeanType,
+    VarType,
+    ddim_loop,
+    make_ddim_tables,
+    make_schedule,
+    p_sample_loop,
+    plms_loop,
+    q_sample,
+)
+from ..models.movq import MOVQ
+from ..models.prior import PriorTransformer, prior_sample_fn
+from ..models.text_encoders import CLIPTextTower, CLIPViT, TextEncoder
+from ..utils import get_new_h_w, prepare_image, prepare_mask, process_images
+
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def clip_preprocess(pil_image, image_size: int = 224) -> np.ndarray:
+    """CLIP preprocessing (resize+center-crop+normalize), NHWC [1,S,S,3]."""
+    from PIL import Image
+
+    w, h = pil_image.size
+    scale = image_size / min(w, h)
+    pil_image = pil_image.resize(
+        (round(w * scale), round(h * scale)), resample=Image.BICUBIC
+    )
+    w, h = pil_image.size
+    left, top = (w - image_size) // 2, (h - image_size) // 2
+    pil_image = pil_image.crop((left, top, left + image_size, top + image_size))
+    arr = np.asarray(pil_image.convert("RGB"), np.float32) / 255.0
+    arr = (arr - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    return arr[None]
+
+
+class Kandinsky2_1:
+    """Five-model pipeline: prior, CLIP (text+vision), XLM-R text encoder,
+    latent UNet, MoVQ (kandinsky2_1_model.py:23-104)."""
+
+    def __init__(
+        self,
+        config: Optional[dict] = None,
+        params: Optional[Dict[str, Any]] = None,
+        tokenizer1=None,
+        tokenizer2=None,
+        clip_mean=None,
+        clip_std=None,
+        task_type: str = "text2img",
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.config = deep_copy_config(config or CONFIG_2_1)
+        self.task_type = task_type
+        self.dtype = dtype
+        mc = self.config["model_config"]
+        mc["inpainting"] = task_type == "inpainting"
+        if task_type not in ("text2img", "inpainting"):
+            raise ValueError("Only text2img and inpainting is available")
+
+        hp = self.config["prior"]["params"]["model"]["hparams"]
+        self.prior = PriorTransformer(
+            text_ctx=hp["text_ctx"], xf_width=hp["xf_width"],
+            xf_layers=hp["xf_layers"], xf_heads=hp["xf_heads"],
+            xf_final_ln=hp["xf_final_ln"], clip_dim=hp["clip_dim"],
+            clip_xf_width=hp["clip_xf_width"], dtype=dtype,
+        )
+        # optional tower-size overrides (tiny configs for tests/CI)
+        self.clip_text = CLIPTextTower(
+            dtype=dtype, **self.config.get("clip_text_params", {})
+        )
+        self.clip_vision = CLIPViT(
+            dtype=dtype, **self.config.get("clip_vision_params", {})
+        )
+        te = self.config["text_enc_params"]
+        te_extra = {
+            k: te[k]
+            for k in ("layers", "heads", "intermediate", "vocab_size", "max_positions")
+            if k in te
+        }
+        self.text_encoder = TextEncoder(
+            model_name=te["model_name"], in_features=te["in_features"],
+            out_features=te["out_features"], dtype=dtype, **te_extra,
+        )
+        self.unet = create_model(**mc, dtype=dtype)
+        ie = self.config["image_enc_params"]
+        self.scale = ie["scale"]
+        dd = ie["params"]["ddconfig"]
+        self.movq = MOVQ(
+            z_channels=dd["z_channels"], embed_dim=ie["params"]["embed_dim"],
+            n_embed=ie["params"]["n_embed"], ch=dd["ch"],
+            ch_mult=tuple(dd["ch_mult"]), num_res_blocks=dd["num_res_blocks"],
+            attn_resolutions=tuple(dd["attn_resolutions"]),
+            resolution=dd["resolution"], dtype=dtype,
+        )
+        self.clip_image_size = self.config.get("clip_image_size", 224)
+
+        self.params = params
+        self.tokenizer1 = tokenizer1
+        self.tokenizer2 = tokenizer2
+        self.clip_mean = (
+            jnp.asarray(clip_mean, jnp.float32).reshape(1, -1)
+            if clip_mean is not None else None
+        )
+        self.clip_std = (
+            jnp.asarray(clip_std, jnp.float32).reshape(1, -1)
+            if clip_std is not None else None
+        )
+        self._rng = jax.random.PRNGKey(seed)
+        self._jit_cache: Dict[Any, Any] = {}
+        # prior/decoder schedule kwargs (configs mirror the reference)
+        self._prior_diff_cfg = self.config["prior"]["params"]["diffusion"]
+        self._decoder_diff_cfg = self.config["diffusion_config"]
+        # img2img re-noising uses the DEFAULT linear(1e-4, 2e-2) schedule, a
+        # reference quirk: utils.py:42-47 calls model/utils.get_named_beta_
+        # schedule which ignores the decoder's linear_start/end overrides.
+        self._img2img_sched = make_schedule(steps=1000, noise_schedule="linear")
+
+    # ------------------------------------------------------------------
+    # initialization helpers
+    # ------------------------------------------------------------------
+
+    def init_random_params(self, rng: Optional[jax.Array] = None, cast=None):
+        """Random-init all five models (tests / benchmarking)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(rng, 6)
+        hp = self.config["prior"]["params"]["model"]["hparams"]
+        mc = self.config["model_config"]
+        B = 1
+        lat = jnp.zeros((B, 32, 32, 4))
+        t = jnp.zeros((B,))
+        init = {}
+        init["prior"] = jax.jit(self.prior.init)(
+            ks[0], jnp.zeros((B, hp["clip_dim"])), t,
+            jnp.zeros((B, hp["clip_dim"])),
+            jnp.zeros((B, hp["text_ctx"], hp["clip_xf_width"])),
+            jnp.ones((B, hp["text_ctx"]), bool),
+        )["params"]
+        ctx = self.clip_text.context_length
+        init["clip_text"] = jax.jit(self.clip_text.init)(
+            ks[1], jnp.zeros((B, ctx), jnp.int32)
+        )["params"]
+        init["clip_vision"] = jax.jit(self.clip_vision.init)(
+            ks[2], jnp.zeros((B, self.clip_image_size, self.clip_image_size, 3))
+        )["params"]
+        te_len = min(77, self.text_encoder.max_positions - 2)
+        init["text_encoder"] = jax.jit(self.text_encoder.init)(
+            ks[3], jnp.zeros((B, te_len), jnp.int32), jnp.ones((B, te_len), jnp.int32)
+        )["params"]
+        cond = dict(
+            full_emb=jnp.zeros((B, 77, mc["text_encoder_in_dim1"])),
+            pooled_emb=jnp.zeros((B, mc["text_encoder_in_dim2"])),
+            image_emb=jnp.zeros((B, mc["image_encoder_in_dim"])),
+        )
+        if mc["inpainting"]:
+            cond.update(
+                inpaint_image=jnp.zeros_like(lat),
+                inpaint_mask=jnp.zeros_like(lat[..., :1]),
+            )
+        init["unet"] = jax.jit(
+            lambda k: self.unet.init(k, lat, t, **cond)
+        )(ks[4])["params"]
+        init["movq"] = jax.jit(self.movq.init)(
+            ks[5], jnp.zeros((B, 64, 64, 3))
+        )["params"]
+        if cast is not None:
+            init = jax.tree_util.tree_map(lambda a: a.astype(cast), init)
+        self.params = init
+        if self.clip_mean is None:
+            self.clip_mean = jnp.zeros((1, hp["clip_dim"]), jnp.float32)
+            self.clip_std = jnp.ones((1, hp["clip_dim"]), jnp.float32)
+        return init
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _jit(self, key, builder):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = builder()
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # conditioning encoders
+    # ------------------------------------------------------------------
+
+    def encode_text(self, prompt: str, batch_size: int):
+        """XLM-R full/pooled embeddings for [prompt]*B + [""]*B
+        (kandinsky2_1_model.py:115-131)."""
+        enc = self.tokenizer1(
+            [prompt] * batch_size + [""] * batch_size,
+            max_length=min(77, self.text_encoder.max_positions - 2),
+            padding="max_length", truncation=True,
+            return_attention_mask=True, add_special_tokens=True,
+            return_tensors="np",
+        )
+        tokens = jnp.asarray(enc["input_ids"])
+        mask = jnp.asarray(enc["attention_mask"])
+        fn = self._jit(
+            ("text_enc", tokens.shape),
+            lambda: jax.jit(
+                lambda p, t, m: self.text_encoder.apply({"params": p}, t, m)
+            ),
+        )
+        return fn(self.params["text_encoder"], tokens, mask)
+
+    def generate_clip_emb(
+        self, prompt, batch_size=1, prior_cf_scale=4, prior_steps="25",
+        negative_prior_prompt="",
+    ):
+        """CLIP text feats -> guided prior sample (kandinsky2_1_model.py:133-175)."""
+        tok, mask = self.tokenizer2.padded_tokens_and_mask(
+            [prompt] * batch_size, self.prior.text_ctx
+        )
+        cf_tok, cf_mask = self.tokenizer2.padded_tokens_and_mask(
+            [negative_prior_prompt] * batch_size, self.prior.text_ctx
+        )
+        tok = jnp.asarray(np.concatenate([tok, cf_tok]))
+        mask = jnp.asarray(np.concatenate([mask, cf_mask]))
+        use_ddim = str(prior_steps).startswith("ddim")
+        skw = schedule_kwargs(self._prior_diff_cfg, str(prior_steps))
+        sched = make_schedule(**skw["make_schedule"])
+
+        def build():
+            def fn(params, tok, mask, scale, rng):
+                seq, feat = self.clip_text.apply(
+                    {"params": params["clip_text"]}, tok
+                )
+                return prior_sample_fn(
+                    self.prior.apply, {"params": params["prior"]}, sched,
+                    feat, seq, mask, scale, self.clip_mean, self.clip_std,
+                    rng, use_ddim=use_ddim,
+                )
+            return jax.jit(fn)
+
+        fn = self._jit(("prior", str(prior_steps), tok.shape[0]), build)
+        emb = fn(
+            self.params, tok, mask,
+            jnp.asarray(prior_cf_scale, jnp.float32), self._next_rng(),
+        )
+        return emb
+
+    def encode_images(self, image, is_pil: bool = False):
+        """CLIP image embedding (kandinsky2_1_model.py:177-181)."""
+        if is_pil:
+            image = clip_preprocess(image, self.clip_image_size)
+        image = jnp.asarray(image)
+        fn = self._jit(
+            ("clip_vision", image.shape),
+            lambda: jax.jit(
+                lambda p, x: self.clip_vision.apply({"params": p}, x)
+            ),
+        )
+        return fn(self.params["clip_vision"], image)
+
+    def create_zero_img_emb(self, batch_size: int):
+        img = jnp.zeros((1, self.clip_image_size, self.clip_image_size, 3))
+        emb = self.encode_images(img)
+        return jnp.tile(emb, (batch_size, 1))
+
+    # ------------------------------------------------------------------
+    # core generation
+    # ------------------------------------------------------------------
+
+    def _build_latent_fn(
+        self, *, sampler, num_steps, new_h, new_w, batch_size, init_step,
+        inpainting,
+    ):
+        """One jitted program: UNet conditioning encode -> scanned denoise ->
+        MoVQ decode."""
+        mc = self.config["model_config"]
+        C = mc["in_channels"]
+        dkw = schedule_kwargs(
+            self._decoder_diff_cfg,
+            str(num_steps) if sampler == "p_sampler" else "",
+        )
+        sched = make_schedule(**dkw["make_schedule"])
+        if sampler in ("ddim_sampler", "plms_sampler"):
+            tables = make_ddim_tables(
+                np.asarray(sched.alphas_cumprod, np.float64), num_steps,
+                init_step=init_step,
+            )
+
+        def fn(params, full_emb, pooled_emb, image_emb, guidance_scale, rng,
+               x_T, inpaint_image, inpaint_mask):
+            # conditioning once (2B batch: [cond; uncond])
+            xf_proj, xf_out = self.unet.apply(
+                {"params": params["unet"]}, full_emb, pooled_emb, image_emb,
+                method=self.unet.encode_conditioning,
+            )
+
+            def model_fn(x, t_model):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t_model, t_model], axis=0)
+                if inpainting:
+                    out = self.unet.apply(
+                        {"params": params["unet"]}, x2, t2, xf_proj, xf_out,
+                        jnp.concatenate([inpaint_image, inpaint_image], 0),
+                        jnp.concatenate([inpaint_mask, inpaint_mask], 0),
+                        method=self.unet.denoise,
+                    )
+                else:
+                    out = self.unet.apply(
+                        {"params": params["unet"]}, x2, t2, xf_proj, xf_out,
+                        method=self.unet.denoise,
+                    )
+                eps, rest = out[..., :C], out[..., C:]
+                cond_eps, uncond_eps = eps[:batch_size], eps[batch_size:]
+                eps_g = uncond_eps + guidance_scale * (cond_eps - uncond_eps)
+                if sampler == "p_sampler":
+                    return jnp.concatenate([eps_g, rest[:batch_size]], axis=-1)
+                return eps_g
+
+            if inpainting:
+                def denoised_fn(x0):
+                    x0 = jnp.clip(x0, -2, 2)
+                    return x0 * (1 - inpaint_mask) + inpaint_image * inpaint_mask
+            else:
+                denoised_fn = lambda x0: jnp.clip(x0, -2, 2)
+
+            if sampler == "p_sampler":
+                samples = p_sample_loop(
+                    model_fn, sched, x_T, rng,
+                    mean_type=dkw["mean_type"], var_type=dkw["var_type"],
+                    clip_denoised=True, denoised_fn=denoised_fn,
+                    init_step=init_step, channel_axis=-1,
+                )
+            elif sampler == "ddim_sampler":
+                samples = ddim_loop(model_fn, tables, x_T)
+            elif sampler == "plms_sampler":
+                samples = plms_loop(model_fn, tables, x_T)
+            else:
+                raise ValueError(
+                    "Only p_sampler, ddim_sampler and plms_sampler are available"
+                )
+            img = self.movq.apply(
+                {"params": params["movq"]},
+                (samples / self.scale).astype(self.dtype),
+                method=self.movq.decode,
+            )
+            return img.astype(jnp.float32)
+
+        return jax.jit(fn)
+
+    def generate_img(
+        self, prompt, img_prompt, batch_size=1, guidance_scale=7,
+        init_step=None, noise=None, init_img=None, img_mask=None,
+        h=512, w=512, sampler="ddim_sampler", num_steps=50,
+    ):
+        """Core decoder loop + MoVQ decode (kandinsky2_1_model.py:183-292).
+        ``img_prompt`` is the CFG-doubled [cond; uncond] image embedding."""
+        new_h, new_w = get_new_h_w(h, w)
+        inpainting = self.task_type == "inpainting"
+        full_emb, pooled_emb = self.encode_text(prompt, batch_size)
+        fn = self._jit(
+            ("gen", sampler, num_steps, new_h, new_w, batch_size, init_step,
+             inpainting),
+            lambda: self._build_latent_fn(
+                sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
+                batch_size=batch_size, init_step=init_step, inpainting=inpainting,
+            ),
+        )
+        if noise is None:
+            x_T = jax.random.normal(
+                self._next_rng(),
+                (batch_size, new_h, new_w, self.config["model_config"]["in_channels"]),
+                jnp.float32,
+            )
+        else:
+            x_T = jnp.asarray(noise, jnp.float32)
+        zeros_lat = jnp.zeros_like(x_T)
+        zeros_mask = jnp.zeros_like(x_T[..., :1])
+        images = fn(
+            self.params, full_emb, pooled_emb, img_prompt,
+            jnp.asarray(guidance_scale, jnp.float32), self._next_rng(), x_T,
+            init_img if init_img is not None else zeros_lat,
+            img_mask if img_mask is not None else zeros_mask,
+        )
+        images = np.asarray(images)[:, :h, :w, :]
+        return process_images(images)
+
+    def generate_text2img(
+        self, prompt, num_steps=100, batch_size=1, guidance_scale=7,
+        h=512, w=512, sampler="ddim_sampler", prior_cf_scale=4,
+        prior_steps="25", negative_prior_prompt="", negative_decoder_prompt="",
+    ):
+        """kandinsky2_1_model.py:299-351."""
+        image_emb = self.generate_clip_emb(
+            prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
+            prior_steps=prior_steps, negative_prior_prompt=negative_prior_prompt,
+        )
+        if negative_decoder_prompt == "":
+            zero_image_emb = self.create_zero_img_emb(batch_size)
+        else:
+            zero_image_emb = self.generate_clip_emb(
+                negative_decoder_prompt, batch_size=batch_size,
+                prior_cf_scale=prior_cf_scale, prior_steps=prior_steps,
+                negative_prior_prompt=negative_prior_prompt,
+            )
+        image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
+            self.dtype
+        )
+        return self.generate_img(
+            prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
+            guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
+            num_steps=num_steps,
+        )
+
+    def mix_images(
+        self, images_texts, weights, num_steps=100, batch_size=1,
+        guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
+        prior_cf_scale=4, prior_steps="25", negative_prior_prompt="",
+        negative_decoder_prompt="",
+    ):
+        """Weighted image-embedding fusion (kandinsky2_1_model.py:353-425)."""
+        assert len(images_texts) == len(weights) and len(images_texts) > 0
+        image_emb = None
+        for obj, wgt in zip(images_texts, weights):
+            if isinstance(obj, str):
+                emb = wgt * self.generate_clip_emb(
+                    obj, batch_size=1, prior_cf_scale=prior_cf_scale,
+                    prior_steps=prior_steps,
+                    negative_prior_prompt=negative_prior_prompt,
+                )
+            else:
+                emb = self.encode_images(obj, is_pil=True) * wgt
+            image_emb = emb if image_emb is None else image_emb + emb
+        image_emb = jnp.tile(image_emb, (batch_size, 1))
+        if negative_decoder_prompt == "":
+            zero_image_emb = self.create_zero_img_emb(batch_size)
+        else:
+            zero_image_emb = self.generate_clip_emb(
+                negative_decoder_prompt, batch_size=batch_size,
+                prior_cf_scale=prior_cf_scale, prior_steps=prior_steps,
+                negative_prior_prompt=negative_prior_prompt,
+            )
+        image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
+            self.dtype
+        )
+        return self.generate_img(
+            prompt="", img_prompt=image_emb, batch_size=batch_size,
+            guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
+            num_steps=num_steps,
+        )
+
+    def generate_img2img(
+        self, prompt, pil_img, strength=0.7, num_steps=100, batch_size=1,
+        guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
+        prior_cf_scale=4, prior_steps="25",
+    ):
+        """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
+        strength-derived step, truncated ladder."""
+        image_emb = self.generate_clip_emb(
+            prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
+            prior_steps=prior_steps,
+        )
+        zero_image_emb = self.create_zero_img_emb(batch_size)
+        image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
+            self.dtype
+        )
+        image = jnp.asarray(prepare_image(pil_img, w=w, h=h))
+        latent = self._movq_encode(image) * self.scale
+        if sampler == "p_sampler":
+            skw = schedule_kwargs(self._decoder_diff_cfg, str(num_steps))
+            sched = make_schedule(**skw["make_schedule"])
+            start_step = int(sched.num_timesteps * (1 - strength))
+            t_noise = int(np.asarray(sched.timestep_map)[start_step - 1])
+        else:
+            start_step = int(1000 * (1 - strength))
+            t_noise = start_step - 1
+        noise = jax.random.normal(self._next_rng(), latent.shape, jnp.float32)
+        latent = q_sample(
+            self._img2img_sched, latent.astype(jnp.float32),
+            jnp.full((latent.shape[0],), t_noise, jnp.int32), noise,
+        )
+        latent = jnp.tile(latent, (batch_size, 1, 1, 1))
+        return self.generate_img(
+            prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
+            guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
+            num_steps=num_steps, noise=latent, init_step=start_step,
+        )
+
+    def generate_inpainting(
+        self, prompt, pil_img, img_mask, num_steps=100, batch_size=1,
+        guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
+        prior_cf_scale=4, prior_steps="25", negative_prior_prompt="",
+        negative_decoder_prompt="",
+    ):
+        """kandinsky2_1_model.py:486-548: latent-mask-blended inpainting."""
+        image_emb = self.generate_clip_emb(
+            prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
+            prior_steps=prior_steps, negative_prior_prompt=negative_prior_prompt,
+        )
+        zero_image_emb = self.create_zero_img_emb(batch_size)
+        image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
+            self.dtype
+        )
+        image = jnp.asarray(prepare_image(pil_img, w=w, h=h))
+        latent = self._movq_encode(image) * self.scale
+        lh, lw = latent.shape[1:3]
+        mask = np.asarray(img_mask, np.float32)
+        # nearest-resize the pixel mask to the latent grid, then erode
+        yi = (np.arange(lh) * (mask.shape[0] / lh)).astype(np.int32)
+        xi = (np.arange(lw) * (mask.shape[1] / lw)).astype(np.int32)
+        mask = mask[yi][:, xi]
+        mask = prepare_mask(mask)[None, :, :, None]
+        latent = jnp.asarray(latent, jnp.float32)
+        mask = jnp.asarray(mask, jnp.float32)
+        latent_b = jnp.tile(latent, (batch_size, 1, 1, 1))
+        mask_b = jnp.tile(mask, (batch_size, 1, 1, 1))
+        return self.generate_img(
+            prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
+            guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
+            num_steps=num_steps, init_img=latent_b, img_mask=mask_b,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _movq_encode(self, image):
+        fn = self._jit(
+            ("movq_enc", tuple(image.shape)),
+            lambda: jax.jit(
+                lambda p, x: self.movq.apply(
+                    {"params": p}, x.astype(self.dtype), method=self.movq.encode
+                ).astype(jnp.float32)
+            ),
+        )
+        return fn(self.params["movq"], image)

@@ -1,0 +1,226 @@
+"""Decoder (unCLIP 2.1 UNet) fine-tuning (reference: kandinsky2/train_utils/
+trainer_2_1_uclip.py:39-81, train_2_1_unclip.py, train_module_pl2_1.py).
+
+TPU-first design:
+
+* One jitted ``train_step`` containing: timestep sampling, q_sample, UNet
+  forward, hybrid MSE+VLB loss, grad, optimizer update, EMA — compiled once.
+* Data parallel comes from jit-over-Mesh: batch arrays sharded on the 'data'
+  axis, params replicated/TP-sharded (kandinsky2_tpu.parallel) — XLA inserts
+  the gradient reductions, replacing the torch.distributed machinery.
+* Parameter freezing (train_utils/utils.py:212-229: resblocks vs attention)
+  is an optax mask, not requires_grad mutation.
+* Frozen encoders (MoVQ, text encoder, CLIP visual) run in the data pipeline
+  step ``prepare_cond`` (trainer_2_1_uclip.py:14-37) ahead of the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..diffusion import LossType, MeanType, VarType, make_schedule
+from ..diffusion.gaussian import training_losses
+from .ema import ema_update
+from .resample import (
+    LossAwareState,
+    init_loss_aware,
+    loss_aware_sample,
+    loss_aware_update,
+    uniform_sample,
+)
+
+
+def decoder_freeze_mask(params, freeze_resblocks=False, freeze_attention=False):
+    """Trainable-leaf mask replicating freeze_decoder's name rules
+    (train_utils/utils.py:212-229)."""
+    res_markers = ("in_layers", "h_upd", "x_upd", "emb_layers", "out_layers")
+    attn_markers = ("proj_out", "qkv")
+
+    def decide(path, _):
+        name = "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        ).lower()
+        if any(m in name for m in res_markers):
+            return not freeze_resblocks
+        if any(m in name for m in attn_markers):
+            return not freeze_attention
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def masked_optimizer(tx: optax.GradientTransformation, trainable_mask):
+    """Zero updates for frozen leaves."""
+    return optax.multi_transform(
+        {True: tx, False: optax.set_to_zero()},
+        jax.tree_util.tree_map(bool, trainable_mask),
+    )
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+    sampler_state: Optional[LossAwareState] = None
+
+
+def make_unclip_train_step(
+    unet,
+    diffusion_config: dict,
+    tx: optax.GradientTransformation,
+    *,
+    schedule_sampler: str = "uniform",
+    ema_decay: float = 0.9999,
+    inpainting: bool = False,
+    data_axis: Optional[str] = None,
+):
+    """Build (init_state, train_step).
+
+    ``train_step(state, batch, rng)`` expects a batch dict with:
+      image_latents [B,h,w,4] (MoVQ-encoded, scaled), full_emb, pooled_emb,
+      image_emb, and optionally inpaint_image/inpaint_mask.
+    Returns (state, metrics).
+    """
+    from ..configs import schedule_kwargs
+
+    skw = schedule_kwargs(diffusion_config, "")
+    sched = make_schedule(**skw["make_schedule"])
+    mean_type, var_type, loss_type = (
+        skw["mean_type"], skw["var_type"], skw["loss_type"],
+    )
+
+    def init_state(params) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            ema_params=params,
+            step=jnp.zeros((), jnp.int32),
+            sampler_state=(
+                init_loss_aware(sched.num_timesteps)
+                if schedule_sampler == "loss-second-moment" else None
+            ),
+        )
+
+    def train_step(state: TrainState, batch, rng):
+        rng_t, rng_n = jax.random.split(jax.random.fold_in(rng, state.step))
+        x0 = batch["image_latents"].astype(jnp.float32)
+        B = x0.shape[0]
+        if schedule_sampler == "loss-second-moment":
+            t, weights = loss_aware_sample(rng_t, state.sampler_state, B)
+        else:
+            t, weights = uniform_sample(rng_t, sched.num_timesteps, B)
+        noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
+
+        def loss_fn(params):
+            def model_fn(x_t, t_model):
+                kwargs = dict(
+                    full_emb=batch["full_emb"],
+                    pooled_emb=batch["pooled_emb"],
+                    image_emb=batch["image_emb"],
+                )
+                if inpainting:
+                    kwargs["inpaint_image"] = batch["inpaint_image"]
+                    kwargs["inpaint_mask"] = batch["inpaint_mask"]
+                return unet.apply({"params": params}, x_t, t_model, **kwargs)
+
+            terms = training_losses(
+                sched, model_fn, x0, t, noise,
+                mean_type=mean_type, var_type=var_type, loss_type=loss_type,
+                channel_axis=-1,
+            )
+            loss = jnp.mean(terms["loss"] * weights)
+            return loss, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if data_axis is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(
+            state.ema_params, params, ema_decay, num_updates=state.step
+        )
+        sampler_state = state.sampler_state
+        if schedule_sampler == "loss-second-moment":
+            sampler_state = loss_aware_update(
+                sampler_state, t, terms["loss"], axis_name=data_axis
+            )
+        metrics = {
+            "loss": loss,
+            "mse": jnp.mean(terms["mse"]) if "mse" in terms else loss,
+        }
+        if "vb" in terms:
+            metrics["vb"] = jnp.mean(terms["vb"])
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, ema_params=ema_params,
+                step=state.step + 1, sampler_state=sampler_state,
+            ),
+            metrics,
+        )
+
+    return init_state, train_step
+
+
+def train_unclip(
+    *,
+    unet,
+    params,
+    diffusion_config: dict,
+    loader,
+    prepare_batch: Callable,
+    tx: Optional[optax.GradientTransformation] = None,
+    num_epochs: int = 1,
+    save_every: int = 1000,
+    save_path: str = "checkpoints/unclip",
+    schedule_sampler: str = "uniform",
+    inpainting: bool = False,
+    freeze_resblocks: bool = False,
+    freeze_attention: bool = False,
+    ema_decay: float = 0.9999,
+    seed: int = 0,
+    log_every: int = 50,
+):
+    """Single-host training loop (trainer_2_1_uclip.py:39-81 semantics +
+    atomic checkpointing).  ``prepare_batch(raw)`` runs the frozen encoders
+    (MoVQ/text/CLIP) and returns the train-step batch dict."""
+    from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+
+    if tx is None:
+        tx = optax.adafactor(learning_rate=5e-6)  # train_configs default lr
+    mask = decoder_freeze_mask(params, freeze_resblocks, freeze_attention)
+    tx = masked_optimizer(tx, mask)
+    init_state, train_step = make_unclip_train_step(
+        unet, diffusion_config, tx, schedule_sampler=schedule_sampler,
+        ema_decay=ema_decay, inpainting=inpainting,
+    )
+    ckpt_file, start_step = latest_checkpoint(save_path)
+    if ckpt_file:
+        params = load_checkpoint(ckpt_file)
+    state = init_state(params)
+    if start_step:
+        state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+    train_step = jax.jit(train_step)
+    rng = jax.random.PRNGKey(seed)
+    step = start_step
+    for _ in range(num_epochs):
+        for raw in loader:
+            batch = prepare_batch(raw)
+            state, metrics = train_step(state, batch, rng)
+            step += 1
+            if step % log_every == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                print(f"step {step}: {m}", flush=True)
+            if step % save_every == 0:
+                save_checkpoint(save_path, state.params, step)
+    save_checkpoint(save_path, state.params, step)
+    return state

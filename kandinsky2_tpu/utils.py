@@ -1,0 +1,73 @@
+"""Host-side image/mask helpers (reference: kandinsky2/utils.py), NHWC.
+
+The reference's O(H*W) Python mask-erosion double loop (utils.py:11-30) is a
+vectorized 6-neighborhood erosion here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .diffusion import Schedule, q_sample as _q_sample
+
+try:  # PIL is only needed at the pipeline edges
+    from PIL import Image
+except Exception:  # pragma: no cover
+    Image = None
+
+
+def prepare_image(pil_image, w: int = 512, h: int = 512) -> np.ndarray:
+    """PIL -> [1, H, W, 3] float32 in [-1, 1] (utils.py:33-39), NHWC."""
+    pil_image = pil_image.resize((w, h), resample=Image.BICUBIC, reducing_gap=1)
+    arr = np.array(pil_image.convert("RGB")).astype(np.float32) / 127.5 - 1
+    return arr[None]
+
+
+def prepare_mask(mask: np.ndarray) -> np.ndarray:
+    """Erode the keep-region by one latent pixel (utils.py:11-30), vectorized.
+
+    ``mask``: [1, H, W, 1] (or [H, W]) with 1 = keep, 0 = inpaint.  Every pixel
+    whose old value is 0 zeroes the 6-neighborhood {(±1,0), (0,±1), (−1,−1),
+    (+1,+1)} — the reference loop touches exactly those offsets.
+    """
+    squeeze_to = mask.shape
+    m = np.asarray(mask, dtype=np.float32)
+    if m.ndim == 4:
+        hw = m[0, :, :, 0]
+    elif m.ndim == 2:
+        hw = m
+    else:
+        raise ValueError(f"mask shape {mask.shape}")
+    pad = np.pad(hw, 1, constant_values=1.0)
+    out = hw.copy()
+    # offsets (dy, dx) whose zero forces this pixel to zero: the transpose of
+    # the write-offsets in the reference loop
+    for dy, dx in [(1, 0), (0, 1), (1, 1), (-1, 0), (0, -1), (-1, -1)]:
+        out = out * pad[1 + dy : 1 + dy + hw.shape[0], 1 + dx : 1 + dx + hw.shape[1]]
+    out = out * hw
+    return out.reshape(squeeze_to).astype(np.float32)
+
+
+def q_sample(x_start, t, sched: Schedule, noise=None, rng=None):
+    """Standalone forward-noising for img2img (utils.py:42-54); schedule is
+    precomputed instead of rebuilt per call."""
+    import jax
+
+    if noise is None:
+        noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
+    return _q_sample(sched, x_start, t, noise)
+
+
+def process_images(batch: np.ndarray):
+    """[-1,1] NHWC floats -> list of PIL images (utils.py:57-70)."""
+    scaled = np.clip(np.rint((np.asarray(batch, np.float32) + 1) * 127.5), 0, 255)
+    scaled = scaled.astype(np.uint8)
+    return [Image.fromarray(scaled[i]) for i in range(scaled.shape[0])]
+
+
+def get_new_h_w(h: int, w: int) -> tuple[int, int]:
+    """Pixel dims -> latent dims, 64-px aligned (kandinsky2_1_model.py:106-113):
+    latent cell = 8 * ceil(dim/64)."""
+    new_h = (h + 63) // 64
+    new_w = (w + 63) // 64
+    return new_h * 8, new_w * 8

@@ -1,0 +1,146 @@
+"""Smoke tests of the Kandinsky 2.2 stack on a tiny random config: all tasks
+(text2img, img2img, mix, inpainting, controlnet) and LoRA merging."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from kandinsky2_tpu.models.lora import init_lora, merge_lora, unmerge_lora
+from kandinsky2_tpu.pipelines.kandinsky2_2 import Kandinsky2_2
+
+TINY = dict(
+    image_encoder=dict(
+        image_size=28, patch_size=14, hidden=32, layers=2, heads=4,
+        intermediate=64, projection_dim=32,
+    ),
+    text_encoder=dict(
+        vocab_size=64, context_length=8, hidden=32, layers=2, heads=4,
+        intermediate=64, projection_dim=32, eot_token_id=63,
+    ),
+    prior=dict(
+        num_attention_heads=4, attention_head_dim=16, num_layers=2,
+        embedding_dim=32, num_embeddings=8,
+    ),
+    unet=dict(
+        block_out_channels=(32, 64), layers_per_block=1,
+        attention_head_dim=32, cross_attention_dim=32, encoder_hid_dim=32,
+        num_image_tokens=2,
+    ),
+    movq=dict(
+        z_channels=4, embed_dim=4, n_embed=32, ch=32, ch_mult=(1, 1, 1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), resolution=64,
+    ),
+)
+
+
+class StubBPE:
+    def padded_tokens_and_mask(self, texts, ctx):
+        n = len(texts)
+        toks = np.zeros((n, ctx), np.int32)
+        mask = np.zeros((n, ctx), bool)
+        for i, t in enumerate(texts):
+            L = min(ctx, 2 + len(t))
+            toks[i, : L - 1] = 1 + (np.arange(L - 1) % 60)
+            toks[i, L - 1] = 63  # eot
+            mask[i, :L] = True
+        return toks, mask
+
+
+def make_pipe(task):
+    p = Kandinsky2_2(
+        task_type=task, tokenizer=StubBPE(), dtype=jnp.float32, overrides=TINY
+    )
+    p.init_random_params()
+    return p
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return make_pipe("text2img")
+
+
+def test_text2img_22(pipe):
+    imgs = pipe.generate_text2img(
+        "a red cat", batch_size=1, decoder_steps=4, prior_steps=3, h=64, w=64
+    )
+    arr = np.asarray(imgs[0])
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr.astype(np.float32)).all()
+
+
+def test_mix_images_22(pipe):
+    src = Image.fromarray(
+        (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    imgs = pipe.mix_images(
+        ["a cat", src], [0.5, 0.5], decoder_steps=3, prior_steps=3, h=64, w=64
+    )
+    assert np.asarray(imgs[0]).shape == (64, 64, 3)
+
+
+def test_img2img_22():
+    pipe = make_pipe("img2img")
+    src = Image.fromarray(
+        (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    imgs = pipe.generate_img2img(
+        "a dog", src, strength=0.5, decoder_steps=4, prior_steps=3, h=64, w=64
+    )
+    assert np.asarray(imgs[0]).shape == (64, 64, 3)
+
+
+def test_inpainting_22():
+    pipe = make_pipe("inpainting")
+    src = Image.fromarray(
+        (np.random.RandomState(2).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1  # repaint center
+    imgs = pipe.generate_inpainting(
+        "a bird", src, mask, decoder_steps=4, prior_steps=3, h=64, w=64
+    )
+    assert np.asarray(imgs[0]).shape == (64, 64, 3)
+
+
+def test_controlnet_22():
+    pipe = make_pipe("controlnet")
+    hint = np.random.RandomState(3).rand(64, 64, 3).astype(np.float32)
+    imgs = pipe.generate_controlnet(
+        "a house", hint, decoder_steps=3, prior_steps=3, h=64, w=64
+    )
+    assert np.asarray(imgs[0]).shape == (64, 64, 3)
+
+
+def test_lora_merge_roundtrip(pipe):
+    params = pipe.params["unet"]
+    loras = init_lora(params, jax.random.PRNGKey(0), rank=2)
+    assert loras, "no attention kernels targeted"
+    # up factors are zero-initialized: merging changes nothing
+    merged = merge_lora(params, loras)
+    l0 = jax.tree_util.tree_leaves(params)[0]
+    m0 = jax.tree_util.tree_leaves(merged)[0]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(m0))
+    # non-zero up: merge then unmerge is identity
+    loras = {
+        k: {"down": v["down"], "up": jnp.ones_like(v["up"]) * 0.01}
+        for k, v in loras.items()
+    }
+    merged = merge_lora(params, loras, scale=0.5)
+    restored = unmerge_lora(merged, loras, scale=0.5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and at least one kernel actually changed after merge
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for (_, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(merged)[0],
+        )
+    )
+    assert changed
