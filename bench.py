@@ -53,6 +53,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: compiles through the tunneled TPU are
+    # slow (minutes); cached executables make reruns start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from kandinsky2_tpu.configs import CONFIG_2_1, deep_copy_config

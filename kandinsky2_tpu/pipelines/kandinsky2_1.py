@@ -161,24 +161,34 @@ class Kandinsky2_1:
         B = 1
         lat = jnp.zeros((B, 32, 32, 4))
         t = jnp.zeros((B,))
+
+        def _cast(tree):
+            # cast each model right after init so fp32 originals free before
+            # the next model initializes (peak = one model, not the fleet)
+            if cast is None:
+                return tree
+            out = jax.tree_util.tree_map(lambda a: a.astype(cast), tree)
+            jax.block_until_ready(out)
+            return out
+
         init = {}
-        init["prior"] = jax.jit(self.prior.init)(
+        init["prior"] = _cast(jax.jit(self.prior.init)(
             ks[0], jnp.zeros((B, hp["clip_dim"])), t,
             jnp.zeros((B, hp["clip_dim"])),
             jnp.zeros((B, hp["text_ctx"], hp["clip_xf_width"])),
             jnp.ones((B, hp["text_ctx"]), bool),
-        )["params"]
+        )["params"])
         ctx = self.clip_text.context_length
-        init["clip_text"] = jax.jit(self.clip_text.init)(
+        init["clip_text"] = _cast(jax.jit(self.clip_text.init)(
             ks[1], jnp.zeros((B, ctx), jnp.int32)
-        )["params"]
-        init["clip_vision"] = jax.jit(self.clip_vision.init)(
+        )["params"])
+        init["clip_vision"] = _cast(jax.jit(self.clip_vision.init)(
             ks[2], jnp.zeros((B, self.clip_image_size, self.clip_image_size, 3))
-        )["params"]
+        )["params"])
         te_len = min(77, self.text_encoder.max_positions - 2)
-        init["text_encoder"] = jax.jit(self.text_encoder.init)(
+        init["text_encoder"] = _cast(jax.jit(self.text_encoder.init)(
             ks[3], jnp.zeros((B, te_len), jnp.int32), jnp.ones((B, te_len), jnp.int32)
-        )["params"]
+        )["params"])
         cond = dict(
             full_emb=jnp.zeros((B, 77, mc["text_encoder_in_dim1"])),
             pooled_emb=jnp.zeros((B, mc["text_encoder_in_dim2"])),
@@ -189,14 +199,12 @@ class Kandinsky2_1:
                 inpaint_image=jnp.zeros_like(lat),
                 inpaint_mask=jnp.zeros_like(lat[..., :1]),
             )
-        init["unet"] = jax.jit(
+        init["unet"] = _cast(jax.jit(
             lambda k: self.unet.init(k, lat, t, **cond)
-        )(ks[4])["params"]
-        init["movq"] = jax.jit(self.movq.init)(
+        )(ks[4])["params"])
+        init["movq"] = _cast(jax.jit(self.movq.init)(
             ks[5], jnp.zeros((B, 64, 64, 3))
-        )["params"]
-        if cast is not None:
-            init = jax.tree_util.tree_map(lambda a: a.astype(cast), init)
+        )["params"])
         self.params = init
         if self.clip_mean is None:
             self.clip_mean = jnp.zeros((1, hp["clip_dim"]), jnp.float32)

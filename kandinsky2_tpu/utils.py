@@ -38,6 +38,11 @@ def prepare_mask(mask: np.ndarray) -> np.ndarray:
         hw = m
     else:
         raise ValueError(f"mask shape {mask.shape}")
+    from . import native
+
+    if native.available():
+        out = native.erode_mask(hw)
+        return out.reshape(squeeze_to).astype(np.float32)
     pad = np.pad(hw, 1, constant_values=1.0)
     out = hw.copy()
     # offsets (dy, dx) whose zero forces this pixel to zero: the transpose of
@@ -59,9 +64,11 @@ def q_sample(x_start, t, sched: Schedule, noise=None, rng=None):
 
 
 def process_images(batch: np.ndarray):
-    """[-1,1] NHWC floats -> list of PIL images (utils.py:57-70)."""
-    scaled = np.clip(np.rint((np.asarray(batch, np.float32) + 1) * 127.5), 0, 255)
-    scaled = scaled.astype(np.uint8)
+    """[-1,1] NHWC floats -> list of PIL images (utils.py:57-70); the
+    conversion runs in the native host-ops library when available."""
+    from . import native
+
+    scaled = native.f32_to_u8_images(np.asarray(batch, np.float32))
     return [Image.fromarray(scaled[i]) for i in range(scaled.shape[0])]
 
 

@@ -80,6 +80,48 @@ def load_clip_stats(path: str):
     return np.asarray(mean.float().numpy()), np.asarray(std.float().numpy())
 
 
+def build_kandinsky20(
+    paths: dict,
+    task_type: str = "text2img",
+    dtype=None,
+):
+    """paths from weights.hub.fetch_2_0: UNet .pt, vae.ckpt, two HF text
+    encoder dirs (kandinsky2/__init__.py:12-87)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..pipelines.kandinsky2_0 import Kandinsky2
+
+    dtype = dtype or jnp.bfloat16
+    from transformers import AutoTokenizer
+
+    tokenizer1 = AutoTokenizer.from_pretrained(paths["text_encoder1"])
+    tokenizer2 = AutoTokenizer.from_pretrained(paths["text_encoder2"])
+    pipe = Kandinsky2(
+        tokenizer1=tokenizer1, tokenizer2=tokenizer2, task_type=task_type,
+        dtype=dtype,
+    )
+    shapes = pipe.init_random_params()
+    params = {
+        "unet": convert_state_dict(_load_sd(paths["unet"]), shapes["unet"],
+                                   strict=False),
+        "image_encoder": convert_state_dict(
+            _load_sd(paths["vae"]), shapes["image_encoder"], strict=False
+        ),
+        "text_encoder1": {
+            "model": load_text_encoder21(
+                paths["text_encoder1"], shapes["text_encoder1"]["model"]
+            )
+        },
+        "text_encoder2": convert_state_dict(
+            _load_sd(os.path.join(paths["text_encoder2"], "pytorch_model.bin")),
+            shapes["text_encoder2"], strict=False,
+        ),
+    }
+    pipe.params = jax.tree_util.tree_map(lambda a: jnp.asarray(a), params)
+    return pipe
+
+
 def build_kandinsky21(
     paths: dict,
     task_type: str = "text2img",

@@ -1,0 +1,47 @@
+"""Pallas flash attention vs the XLA einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kandinsky2_tpu.ops.attention import _xla_attention
+from kandinsky2_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize(
+    "B,T,S,H,d",
+    [
+        (2, 128, 128, 4, 64),   # self-attention
+        (1, 300, 387, 2, 64),   # ragged lengths (padding paths)
+        (1, 256, 256, 1, 512),  # MoVQ-style single fat head
+    ],
+)
+def test_flash_matches_xla(B, T, S, H, d):
+    rng = np.random.RandomState(0)
+    q = rng.randn(B, T, H, d).astype(np.float32)
+    k = rng.randn(B, S, H, d).astype(np.float32)
+    v = rng.randn(B, S, H, d).astype(np.float32)
+    expected = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    got = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_bf16():
+    rng = np.random.RandomState(1)
+    q = rng.randn(1, 130, 2, 64).astype(np.float32)
+    k = rng.randn(1, 70, 2, 64).astype(np.float32)
+    v = rng.randn(1, 70, 2, 64).astype(np.float32)
+    expected = _xla_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16),
+    ).astype(jnp.float32)
+    got = flash_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), block_q=64, block_k=64, interpret=True,
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-2)
