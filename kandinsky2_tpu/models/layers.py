@@ -40,6 +40,19 @@ def timestep_embedding(
     return emb
 
 
+# Norm precision policy: "full" upcasts the whole normalize to fp32 (bit-
+# parity with the reference's GroupNorm32, nn.py:31-37); "stats" computes only
+# mean/var in fp32 and normalizes in the activation dtype (half the HBM
+# traffic in bf16 torsos).  Set BEFORE building/jitting a model.
+_NORM_MODE = "full"
+
+
+def set_norm_precision(mode: str) -> None:
+    global _NORM_MODE
+    assert mode in ("full", "stats")
+    _NORM_MODE = mode
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm over the channel (last) axis, fp32 statistics, optional fused
     SiLU (nn.py:26-37).  Owns its scale/bias directly so the flax path maps
@@ -55,14 +68,24 @@ class GroupNorm32(nn.Module):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        y = x.astype(jnp.float32)
         g = self.num_groups
-        grouped = y.reshape(y.shape[0], -1, g, C // g)
-        mean = grouped.mean(axis=(1, 3), keepdims=True)
-        var = grouped.var(axis=(1, 3), keepdims=True)
-        grouped = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
-        y = grouped.reshape(y.shape) * scale + bias
-        y = y.astype(orig_dtype)
+        if _NORM_MODE == "full":
+            y = x.astype(jnp.float32)
+            grouped = y.reshape(y.shape[0], -1, g, C // g)
+            mean = grouped.mean(axis=(1, 3), keepdims=True)
+            var = grouped.var(axis=(1, 3), keepdims=True)
+            grouped = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
+            y = (grouped.reshape(y.shape) * scale + bias).astype(orig_dtype)
+        else:
+            grouped = x.reshape(x.shape[0], -1, g, C // g)
+            g32 = grouped.astype(jnp.float32)
+            mean = g32.mean(axis=(1, 3), keepdims=True)
+            var = g32.var(axis=(1, 3), keepdims=True)
+            inv = jax.lax.rsqrt(var + self.eps)
+            y = (grouped - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
+            y = y.reshape(x.shape) * scale.astype(orig_dtype) + bias.astype(
+                orig_dtype
+            )
         if self.swish == 1.0:
             y = jax.nn.silu(y)
         elif self.swish:

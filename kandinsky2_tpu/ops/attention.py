@@ -52,8 +52,14 @@ def qkv_attention(
         the Pallas kernel is usable on this backend)
     Returns: [B, T, H, ch]
     """
+    # Measured on v5e: the Pallas kernel beats XLA once the sequence is long
+    # AND there are enough batch*head grid slots (2x at T~4200, B*H=24); XLA
+    # wins for short sequences and the MoVQ-style single fat head.
     if impl == "flash" or (
-        impl == "auto" and mask is None and q.shape[1] >= 4096
+        impl == "auto"
+        and mask is None
+        and q.shape[1] >= 3000
+        and q.shape[0] * q.shape[2] >= 8
     ):
         try:
             from .flash_attention import flash_attention

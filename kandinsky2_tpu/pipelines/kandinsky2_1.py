@@ -211,6 +211,23 @@ class Kandinsky2_1:
             self.clip_std = jnp.ones((1, hp["clip_dim"]), jnp.float32)
         return init
 
+    def shard(self, mesh=None, model_parallel: Optional[int] = None,
+              min_size: int = 1024):
+        """Tensor-parallel placement over a ``(data, model)`` mesh for
+        multi-chip serving (v5e-8): large kernels shard on the model axis,
+        everything else replicates; XLA inserts the ICI collectives.  Call
+        after params are loaded; subsequent jitted calls pick the shardings up
+        from the arguments."""
+        from ..parallel import make_mesh, shard_params
+
+        mesh = mesh or make_mesh(model_parallel=model_parallel)
+        self.mesh = mesh
+        self.params = {
+            k: shard_params(v, mesh, min_size=min_size)
+            for k, v in self.params.items()
+        }
+        return mesh
+
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
         return k

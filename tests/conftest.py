@@ -17,6 +17,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough here: the ambient axon TPU plugin wins the
+# platform race unless jax_platforms is set through the config before the
+# first backend query.
+jax.config.update("jax_platforms", "cpu")
+
 # JAX's 'default' matmul/conv precision is reduced (bf16-like passes) even on
 # CPU; parity tests against torch fp32 need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
