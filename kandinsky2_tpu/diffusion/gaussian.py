@@ -394,6 +394,58 @@ def vb_terms_bpd(
     return jnp.where(t == 0, decoder_nll, kl), out["pred_xstart"]
 
 
+def prior_bpd(sched: Schedule, x_start: jnp.ndarray) -> jnp.ndarray:
+    """Prior KL term of the VLB in bits/dim (gaussian_diffusion.py:744-758)."""
+    B = x_start.shape[0]
+    t = jnp.full((B,), sched.num_timesteps - 1, jnp.int32)
+    qt_mean, _, qt_logvar = q_mean_variance(sched, x_start, t)
+    kl = normal_kl(qt_mean, qt_logvar, 0.0, 0.0)
+    return mean_flat(kl) / float(np.log(2.0))
+
+
+def calc_bpd_loop(
+    sched: Schedule,
+    model_fn: Callable,
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    mean_type: MeanType = MeanType.EPSILON,
+    var_type: VarType = VarType.LEARNED_RANGE,
+    channel_axis: int = -1,
+):
+    """Full VLB evaluation (gaussian_diffusion.py:760-813) as one scan over
+    timesteps.  Returns dict(total_bpd [B], prior_bpd [B], vb [B,T],
+    xstart_mse [B,T], mse [B,T])."""
+    B = x_start.shape[0]
+
+    def step(_, t_scalar):
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, t_scalar), x_start.shape, jnp.float32
+        )
+        x_t = q_sample(sched, x_start, t, noise)
+        model_output = model_fn(x_t, sched.model_timesteps(t)).astype(jnp.float32)
+        vb, pred_xstart = vb_terms_bpd(
+            sched, model_output, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, channel_axis=channel_axis,
+        )
+        xstart_mse = mean_flat((pred_xstart - x_start) ** 2)
+        eps = predict_eps_from_xstart(sched, x_t, t, pred_xstart)
+        mse = mean_flat((eps - noise) ** 2)
+        return None, (vb, xstart_mse, mse)
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(step, None, ts)
+    pb = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": vb.sum(axis=0) + pb,
+        "prior_bpd": pb,
+        "vb": vb.T,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }
+
+
 def training_losses(
     sched: Schedule,
     model_fn: Callable,

@@ -183,6 +183,14 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize, NHWC (torch F.interpolate bilinear,
+    align_corners=False — half-pixel centers, same as jax.image 'linear')."""
+    return jax.image.resize(
+        x, (x.shape[0], size[0], size[1], x.shape[-1]), method="linear"
+    )
+
+
 class AttentionPooling(nn.Module):
     """Multi-head attention pooling (reference text_encoders.py:24-58):
     full-sequence q/k/v self-attention, return position 0 of the projected

@@ -396,6 +396,61 @@ class InpaintText2ImUNet21(Text2ImUNet21):
         )
 
 
+class SuperResUNetModel(UNetModel):
+    """Super-resolution UNet (unet.py:614-635): conditions on a bilinear-
+    upsampled low-res image concatenated to the input.  ``in_channels`` must
+    already be doubled."""
+
+    def __call__(self, x, timesteps, low_res=None, **kwargs):
+        from .layers import resize_bilinear
+
+        up = resize_bilinear(low_res, x.shape[1:3]).astype(x.dtype)
+        return UNetModel.__call__(
+            self, jnp.concatenate([x, up], axis=-1), timesteps, **kwargs
+        )
+
+
+class SuperResInpaintUNetModel(UNetModel):
+    """Joint super-resolution + inpainting UNet (unet.py:665-701):
+    input = x ⊕ masked_image ⊕ mask ⊕ upsampled_low_res (3C+1 channels)."""
+
+    def __call__(self, x, timesteps, inpaint_image=None, inpaint_mask=None,
+                 low_res=None, **kwargs):
+        from .layers import resize_bilinear
+
+        if inpaint_image is None:
+            inpaint_image = jnp.zeros_like(x)
+        if inpaint_mask is None:
+            inpaint_mask = jnp.zeros_like(x[..., :1])
+        up = resize_bilinear(low_res, x.shape[1:3]).astype(x.dtype)
+        return UNetModel.__call__(
+            self,
+            jnp.concatenate(
+                [x, inpaint_image * inpaint_mask, inpaint_mask, up], axis=-1
+            ),
+            timesteps,
+            **kwargs,
+        )
+
+
+class SuperResText2ImUNet21(Text2ImUNet21):
+    """Text-conditioned super-resolution variant
+    (text2im_model2_1.py:106-129)."""
+
+    def denoise(self, x, timesteps, xf_proj, xf_out, low_res=None):
+        from .layers import resize_bilinear
+
+        up = resize_bilinear(low_res, x.shape[1:3]).astype(x.dtype)
+        return Text2ImUNet21.denoise(
+            self, jnp.concatenate([x, up], axis=-1), timesteps, xf_proj, xf_out
+        )
+
+    def __call__(self, x, timesteps, full_emb=None, pooled_emb=None,
+                 image_emb=None, low_res=None):
+        xf_proj, xf_out = self.encode_conditioning(full_emb, pooled_emb, image_emb)
+        return self.denoise(x, timesteps, xf_proj, xf_out, low_res)
+
+
 class Text2ImUNet20(UNetModel):
     """Kandinsky 2.0 conditioned UNet (text2im_model.py:13-111): two text
     streams (mCLIP-XLMR 1024-d + mT5 512-d) concatenated as cross-attn KV;
