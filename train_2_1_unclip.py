@@ -24,13 +24,40 @@ def get_obj_from_str(path: str):
     return getattr(importlib.import_module(module), name)
 
 
+class StubTokenizer:
+    """Deterministic fallback when no tokenizer files are configured
+    (smoke tests / CI without downloaded assets)."""
+
+    def __init__(self, vocab_size=64):
+        self.vocab_size = vocab_size
+
+    def __call__(self, texts, max_length=77, **kw):
+        import numpy as np
+
+        if isinstance(texts, str):
+            texts = [texts]
+        n = len(texts)
+        ids = np.ones((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        for i, t in enumerate(texts):
+            L = min(max_length, 2 + len(t.split()))
+            ids[i, :L] = 2 + (np.arange(L) % (self.vocab_size - 4))
+            mask[i, :L] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu) for smoke runs")
     args = ap.parse_args()
     cfg = yaml.safe_load(open(args.config))
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from kandinsky2_tpu.configs import CONFIG_2_1, deep_copy_config
@@ -46,10 +73,20 @@ def main():
     pipe_cfg["text_enc_params"].update(
         {k: v for k, v in cfg["text_enc_params"].items() if v}
     )
+    # optional tower-size overrides (tiny configs for smoke tests / CI)
+    for key in ("clip_text_params", "clip_vision_params", "clip_image_size",
+                "prior"):
+        if key in cfg:
+            pipe_cfg[key] = cfg[key]
     from transformers import AutoTokenizer
 
     tok_name = cfg["data"]["train"].get("tokenizer_name")
-    tokenizer1 = AutoTokenizer.from_pretrained(tok_name) if tok_name else None
+    if tok_name:
+        tokenizer1 = AutoTokenizer.from_pretrained(tok_name)
+    else:
+        tokenizer1 = StubTokenizer(
+            cfg["text_enc_params"].get("vocab_size", 250002)
+        )
     pipe = Kandinsky2_1(
         config=pipe_cfg, tokenizer1=tokenizer1, tokenizer2=None,
         task_type="inpainting" if cfg.get("inpainting") else "text2img",
@@ -61,7 +98,8 @@ def main():
 
     dtr = cfg["data"]["train"]
     dataset = TextImageDataset(
-        csv_path=dtr["df_path"], tokenizer=tokenizer1,
+        csv_path=dtr["df_path"], image_dir=dtr.get("image_dir", ""),
+        tokenizer=tokenizer1,
         clip_image_size=dtr.get("clip_image_size", 224),
         image_size=dtr.get("image_size", 512),
         drop_text_prob=dtr.get("drop_text_prob", 0.5),
