@@ -19,7 +19,6 @@ guidance batch-doubling happens inside ``model_fn``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

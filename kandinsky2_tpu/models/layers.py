@@ -15,7 +15,7 @@ Counterpart of reference kandinsky2/model/nn.py.  Conventions:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

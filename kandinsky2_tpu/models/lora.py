@@ -10,7 +10,7 @@ reverses it.  ``init_lora`` creates trainable factors for fine-tuning.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

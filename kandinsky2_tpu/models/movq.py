@@ -14,7 +14,7 @@ mechanically.  All spatial tensors are NHWC.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from flax import linen as nn
 
 from .layers import (
     GroupNorm32,
-    avg_pool_2x,
     conv2d,
     dense,
     resize_nearest,

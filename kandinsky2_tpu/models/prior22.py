@@ -14,8 +14,7 @@ attn1.to_q/k/v,attn1.to_out.0,norm3,ff.net.0.proj,ff.net.2}).
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

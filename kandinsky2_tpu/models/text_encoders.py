@@ -27,7 +27,7 @@ handled with a rename rule (see ``weights/clip_rename``).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -119,6 +119,7 @@ def _flash_bhd(q, k, v, block_q: int, block_k: int, interpret: bool):
     return out[:, :T]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -130,7 +131,10 @@ def flash_attention(
     """q: [B, T, H, d]; k/v: [B, S, H, d] -> [B, T, H, d].
 
     Semantics identical to the XLA reference path in ops/attention.py
-    (softmax(q·kᵀ/√d)·v with fp32 accumulation).
+    (softmax(q·kᵀ/√d)·v with fp32 accumulation).  Differentiable: the VJP
+    recomputes through the XLA reference implementation (flash-speed forward,
+    correct training gradients; a Pallas backward kernel is a later
+    optimization).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -141,3 +145,18 @@ def flash_attention(
     bk = min(block_k, max(16, 1 << (S - 1).bit_length()))
     out = _flash_bhd(to_bhd(q), to_bhd(k), to_bhd(v), bq, bk, interpret)
     return out.reshape(B, H, T, d).transpose(0, 2, 1, 3)
+
+
+def _flash_fwd(q, k, v, block_q, block_k, interpret):
+    return flash_attention(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_bwd(block_q, block_k, interpret, residuals, g):
+    from .attention import _xla_attention
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

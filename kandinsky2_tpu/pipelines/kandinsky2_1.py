@@ -31,8 +31,6 @@ import numpy as np
 
 from ..configs import CONFIG_2_1, create_model, deep_copy_config, schedule_kwargs
 from ..diffusion import (
-    MeanType,
-    VarType,
     ddim_loop,
     make_ddim_tables,
     make_schedule,

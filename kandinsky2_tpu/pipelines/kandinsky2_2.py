@@ -40,9 +40,6 @@ def get_new_h_w_64(h: int, w: int) -> tuple[int, int]:
     return ((h + 63) // 64) * 64, ((w + 63) // 64) * 64
 
 
-DEFAULT_TINY = None  # full-size defaults come from the module dataclasses
-
-
 class Kandinsky2_2:
     """Image encoder (ViT-bigG) + prior + decoder UNet + MoVQ."""
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..diffusion import LossType, MeanType, VarType, make_schedule
+from ..diffusion import make_schedule
 from ..diffusion.gaussian import training_losses
 from .ema import ema_update
 from .resample import (

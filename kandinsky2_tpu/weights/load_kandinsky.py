@@ -126,7 +126,6 @@ def build_kandinsky21(
     paths: dict,
     task_type: str = "text2img",
     dtype=None,
-    cache_dir: Optional[str] = None,
 ):
     """paths: dict from weights.hub.fetch_2_1 (or equivalent local files).
     Returns a ready Kandinsky2_1 pipeline."""

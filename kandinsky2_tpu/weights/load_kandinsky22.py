@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Optional
 
 from .convert import convert_state_dict
 

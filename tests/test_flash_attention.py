@@ -45,3 +45,23 @@ def test_flash_bf16():
         jnp.asarray(v, jnp.bfloat16), block_q=64, block_k=64, interpret=True,
     ).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-2)
+
+
+def test_flash_attention_grad():
+    """Training-path gradients flow through the custom VJP and match the XLA
+    reference gradients."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 64, 2, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 48, 2, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 48, 2, 32).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return flash_attention(q, k, v, 32, 32, True).sum()
+
+    def loss_xla(q, k, v):
+        return _xla_attention(q, k, v).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
