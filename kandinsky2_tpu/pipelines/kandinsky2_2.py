@@ -122,6 +122,12 @@ class Kandinsky2_2:
         self.params = init
         return init
 
+    def set_seed(self, seed: int) -> None:
+        """Reset the pipeline RNG for reproducible generation."""
+        import jax as _jax
+
+        self._rng = _jax.random.PRNGKey(seed)
+
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
         return k
