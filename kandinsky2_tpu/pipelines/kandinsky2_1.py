@@ -440,12 +440,109 @@ class Kandinsky2_1:
         images = np.asarray(images)[:, :h, :w, :]
         return process_images(images)
 
+    def _build_text2img_fused_fn(
+        self, *, sampler, num_steps, new_h, new_w, batch_size, prior_steps,
+    ):
+        """ONE XLA program for the whole text2img trajectory: CLIP text tower
+        → guided prior (25-step scan) → zero-image negative emb → UNet
+        conditioning → decoder scan → MoVQ decode.  This realizes the
+        "prior→UNet→MoVQ compiles to a single XLA program per resolution"
+        design (vs the reference's five separate model invocations)."""
+        use_ddim = str(prior_steps).startswith("ddim")
+        pkw = schedule_kwargs(self._prior_diff_cfg, str(prior_steps))
+        prior_sched = make_schedule(**pkw["make_schedule"])
+        decode_fn = self._build_latent_fn(
+            sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
+            batch_size=batch_size, init_step=None, inpainting=False,
+        )
+
+        def fn(params, prior_tok, prior_mask, txt_tokens, txt_mask,
+               prior_scale, guidance_scale, rng, x_T):
+            seq, feat = self.clip_text.apply(
+                {"params": params["clip_text"]}, prior_tok
+            )
+            image_emb = prior_sample_fn(
+                self.prior.apply, {"params": params["prior"]}, prior_sched,
+                feat, seq, prior_mask, prior_scale, self.clip_mean,
+                self.clip_std, rng, use_ddim=use_ddim,
+            )
+            zero_img = jnp.zeros(
+                (1, self.clip_image_size, self.clip_image_size, 3)
+            )
+            zero_emb = jnp.tile(
+                self.clip_vision.apply({"params": params["clip_vision"]},
+                                       zero_img),
+                (batch_size, 1),
+            )
+            img_prompt = jnp.concatenate([image_emb, zero_emb], 0).astype(
+                self.dtype
+            )
+            full_emb, pooled_emb = self.text_encoder.apply(
+                {"params": params["text_encoder"]}, txt_tokens, txt_mask
+            )
+            zeros_lat = jnp.zeros_like(x_T)
+            return decode_fn(
+                params, full_emb, pooled_emb, img_prompt, guidance_scale,
+                jax.random.fold_in(rng, 7), x_T, zeros_lat,
+                zeros_lat[..., :1],
+            )
+
+        return jax.jit(fn)
+
+    def _generate_text2img_fused(
+        self, prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
+        prior_cf_scale, prior_steps, negative_prior_prompt,
+    ):
+        new_h, new_w = get_new_h_w(h, w)
+        tok, mask = self.tokenizer2.padded_tokens_and_mask(
+            [prompt] * batch_size, self.prior.text_ctx
+        )
+        cf_tok, cf_mask = self.tokenizer2.padded_tokens_and_mask(
+            [negative_prior_prompt] * batch_size, self.prior.text_ctx
+        )
+        prior_tok = jnp.asarray(np.concatenate([tok, cf_tok]))
+        prior_mask = jnp.asarray(np.concatenate([mask, cf_mask]))
+        enc = self.tokenizer1(
+            [prompt] * batch_size + [""] * batch_size,
+            max_length=min(77, self.text_encoder.max_positions - 2),
+            padding="max_length", truncation=True, return_attention_mask=True,
+            add_special_tokens=True, return_tensors="np",
+        )
+        fn = self._jit(
+            ("t2i_fused", sampler, num_steps, new_h, new_w, batch_size,
+             str(prior_steps)),
+            lambda: self._build_text2img_fused_fn(
+                sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
+                batch_size=batch_size, prior_steps=prior_steps,
+            ),
+        )
+        x_T = jax.random.normal(
+            self._next_rng(),
+            (batch_size, new_h, new_w, self.config["model_config"]["in_channels"]),
+            jnp.float32,
+        )
+        images = fn(
+            self.params, prior_tok, prior_mask,
+            jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]),
+            jnp.asarray(prior_cf_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32), self._next_rng(), x_T,
+        )
+        return process_images(np.asarray(images)[:, :h, :w, :])
+
     def generate_text2img(
         self, prompt, num_steps=100, batch_size=1, guidance_scale=7,
         h=512, w=512, sampler="ddim_sampler", prior_cf_scale=4,
         prior_steps="25", negative_prior_prompt="", negative_decoder_prompt="",
+        fused=True,
     ):
-        """kandinsky2_1_model.py:299-351."""
+        """kandinsky2_1_model.py:299-351.  With ``fused`` (default) and no
+        negative decoder prompt the whole trajectory runs as one XLA
+        program."""
+        if fused and negative_decoder_prompt == "":
+            return self._generate_text2img_fused(
+                prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
+                prior_cf_scale, prior_steps, negative_prior_prompt,
+            )
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, negative_prior_prompt=negative_prior_prompt,

@@ -101,6 +101,55 @@ class TextImageDataset:
         return out
 
 
+class _Loader:
+    """Re-iterable batched loader with background-thread prefetch (replaces
+    the torch DataLoader of dataset_unclip_2_1.py:125-134).  Each ``__iter__``
+    is a fresh epoch (reshuffled), so multi-epoch ``for raw in loader`` loops
+    behave like a DataLoader."""
+
+    def __init__(self, dataset, batch_size, shuffle, drop_last, prefetch, seed):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def _batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            idxs = order[i : i + bs]
+            if len(idxs) < bs and self.drop_last:
+                break
+            samples = [self.dataset[int(j)] for j in idxs]
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    def __iter__(self) -> Iterator[dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def worker():
+            for b in self._batches():
+                q.put(b)
+            q.put(DONE)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+
 def create_loader(
     dataset,
     batch_size: int,
@@ -108,36 +157,5 @@ def create_loader(
     drop_last: bool = True,
     prefetch: int = 2,
     seed: int = 0,
-) -> Iterator[dict]:
-    """Batched iterator with background-thread prefetch (replaces the torch
-    DataLoader of dataset_unclip_2_1.py:125-134)."""
-    order = np.arange(len(dataset))
-    rng = np.random.RandomState(seed)
-
-    def batches():
-        if shuffle:
-            rng.shuffle(order)
-        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-            idxs = order[i : i + batch_size]
-            if len(idxs) < batch_size and drop_last:
-                break
-            samples = [dataset[int(j)] for j in idxs]
-            yield {
-                k: np.stack([s[k] for s in samples]) for k in samples[0]
-            }
-
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    DONE = object()
-
-    def worker():
-        for b in batches():
-            q.put(b)
-        q.put(DONE)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            break
-        yield item
+) -> _Loader:
+    return _Loader(dataset, batch_size, shuffle, drop_last, prefetch, seed)
