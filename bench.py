@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--res", type=int, default=768)
     ap.add_argument("--sampler", default="ddim_sampler")
+    ap.add_argument("--version", default="2.1", choices=["2.1", "2.2"])
     args = ap.parse_args()
 
     import jax
@@ -99,18 +100,52 @@ def main():
         )
 
     tok1, tok2 = stub_tokenizers()
-    pipe = Kandinsky2_1(
-        config=cfg, tokenizer1=tok1, tokenizer2=tok2, dtype=jnp.bfloat16
-    )
-    t0 = time.time()
-    pipe.init_random_params(cast=jnp.bfloat16)
-    print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+    if args.version == "2.2":
+        from kandinsky2_tpu.pipelines.kandinsky2_2 import Kandinsky2_2
 
-    kw = dict(
-        num_steps=args.steps, batch_size=1, h=args.res, w=args.res,
-        sampler=args.sampler, prior_steps="25" if not args.small else "5",
-        guidance_scale=4,
-    )
+        tok22 = stub_tokenizers()[1]
+        overrides = None
+        if args.small:
+            overrides = dict(
+                image_encoder=dict(image_size=28, patch_size=14, hidden=32,
+                                   layers=2, heads=4, intermediate=64,
+                                   projection_dim=32),
+                text_encoder=dict(vocab_size=256, context_length=8, hidden=32,
+                                  layers=2, heads=4, intermediate=64,
+                                  projection_dim=32, eot_token_id=255),
+                prior=dict(num_attention_heads=4, attention_head_dim=16,
+                           num_layers=2, embedding_dim=32, num_embeddings=8),
+                unet=dict(block_out_channels=(32, 64), layers_per_block=1,
+                          attention_head_dim=32, cross_attention_dim=32,
+                          encoder_hid_dim=32, num_image_tokens=2),
+                movq=dict(z_channels=4, embed_dim=4, n_embed=64, ch=32,
+                          ch_mult=(1, 1, 1, 2), num_res_blocks=1,
+                          attn_resolutions=(8,), resolution=64),
+            )
+        pipe = Kandinsky2_2(tokenizer=tok22, dtype=jnp.bfloat16,
+                            overrides=overrides)
+        t0 = time.time()
+        pipe.init_random_params(cast=jnp.bfloat16)
+        print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}",
+              file=sys.stderr)
+        kw = dict(
+            decoder_steps=args.steps, batch_size=1, h=args.res, w=args.res,
+            prior_steps=25 if not args.small else 3,
+            decoder_guidance_scale=4, prior_guidance_scale=4,
+        )
+    else:
+        pipe = Kandinsky2_1(
+            config=cfg, tokenizer1=tok1, tokenizer2=tok2, dtype=jnp.bfloat16
+        )
+        t0 = time.time()
+        pipe.init_random_params(cast=jnp.bfloat16)
+        print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+        kw = dict(
+            num_steps=args.steps, batch_size=1, h=args.res, w=args.res,
+            sampler=args.sampler, prior_steps="25" if not args.small else "5",
+            guidance_scale=4,
+        )
     t0 = time.time()
     pipe.generate_text2img("a portrait of a cosmonaut riding a horse", **kw)
     compile_time = time.time() - t0
@@ -128,7 +163,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"sec/image {args.res}^2 {args.steps}-step text2img "
+                "metric": f"sec/image {args.res}^2 {args.steps}-step "
+                f"Kandinsky-{args.version} text2img "
                 "(prior+UNet+MoVQ e2e, bf16, 1 chip)",
                 "value": round(value, 4),
                 "unit": "s",

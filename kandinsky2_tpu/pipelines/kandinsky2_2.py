@@ -92,33 +92,41 @@ class Kandinsky2_2:
         ks = jax.random.split(rng, 5)
         D = self.prior.embedding_dim
         ctx = self.text_encoder.context_length
+
+        def _cast(tree):
+            # cast per model so fp32 originals free before the next init
+            # (at full size the five fp32 trees together exceed v5e HBM)
+            if cast is None:
+                return tree
+            out = jax.tree_util.tree_map(lambda a: a.astype(cast), tree)
+            jax.block_until_ready(out)
+            return out
+
         init = {}
-        init["image_encoder"] = jax.jit(self.image_encoder.init)(
+        init["image_encoder"] = _cast(jax.jit(self.image_encoder.init)(
             ks[0],
             jnp.zeros((1, self.image_encoder.image_size, self.image_encoder.image_size, 3)),
-        )["params"]
-        init["text_encoder"] = jax.jit(self.text_encoder.init)(
+        )["params"])
+        init["text_encoder"] = _cast(jax.jit(self.text_encoder.init)(
             ks[1], jnp.zeros((1, ctx), jnp.int32)
-        )["params"]
-        init["prior"] = jax.jit(self.prior.init)(
+        )["params"])
+        init["prior"] = _cast(jax.jit(self.prior.init)(
             ks[2], jnp.zeros((1, D)), jnp.zeros((1,)), jnp.zeros((1, D)),
             jnp.zeros((1, self.prior.num_embeddings, self.text_encoder.hidden)),
             jnp.ones((1, self.prior.num_embeddings), bool),
-        )["params"]
+        )["params"])
         kw = {}
         if self.task_type == "controlnet":
             kw["hint"] = jnp.zeros((1, 64, 64, 3))
-        init["unet"] = jax.jit(
+        init["unet"] = _cast(jax.jit(
             lambda k: self.unet.init(
                 k, jnp.zeros((1, 8, 8, self.unet.in_channels - (4 if self.task_type == "controlnet" else 0))),
                 jnp.zeros((1,)), jnp.zeros((1, self.unet.encoder_hid_dim)), **kw
             )
-        )(ks[3])["params"]
-        init["movq"] = jax.jit(self.movq.init)(
+        )(ks[3])["params"])
+        init["movq"] = _cast(jax.jit(self.movq.init)(
             ks[4], jnp.zeros((1, 64, 64, 3))
-        )["params"]
-        if cast is not None:
-            init = jax.tree_util.tree_map(lambda a: a.astype(cast), init)
+        )["params"])
         self.params = init
         return init
 

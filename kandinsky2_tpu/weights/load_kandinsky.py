@@ -15,7 +15,7 @@ Sources (reference kandinsky2/__init__.py:90-161):
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 
