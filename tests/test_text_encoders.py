@@ -142,3 +142,27 @@ def test_hf_clip_vision():
         theirs = ref(torch.tensor(np.transpose(img, (0, 3, 1, 2)))).image_embeds
     got = ours.apply({"params": params}, jnp.asarray(img))
     np.testing.assert_allclose(theirs.numpy(), np.asarray(got), atol=3e-4)
+
+
+def test_attention_pooling_parity():
+    """AttentionPooling vs the reference (text_encoders.py:24-58) — the 2.0
+    'attention_pooling' pooling_type path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_loader import ref_model
+
+    refte = ref_model("text_encoders")
+    torch.manual_seed(4)
+    ref = refte.AttentionPooling(4, 32, 24).eval()
+
+    from kandinsky2_tpu.models.layers import AttentionPooling
+
+    ours = AttentionPooling(heads=4, in_dim=32, out_dim=24)
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 7, 32).astype(np.float32)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = convert_state_dict(dict(ref.state_dict()), params)
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(theirs, np.asarray(got), atol=2e-5)
