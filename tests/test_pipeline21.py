@@ -147,3 +147,15 @@ def test_inpainting(inpaint_pipe):
         prior_steps="3",
     )
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
+
+
+def test_text2img_prior_ddim(pipe):
+    """Prior 'ddimN' respacing through the full pipeline
+    (prior.py:318-326 path)."""
+    imgs = pipe.generate_text2img(
+        "a red cat", num_steps=4, batch_size=1, h=64, w=64,
+        sampler="ddim_sampler", prior_steps="ddim4",
+    )
+    arr = np.asarray(imgs[0])
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr.astype(np.float32)).all()
