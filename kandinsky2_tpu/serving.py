@@ -31,11 +31,10 @@ class _Request:
     future: Future = field(default_factory=Future)
 
     def shape_key(self) -> Tuple:
-        kw = self.kwargs
-        return (
-            kw.get("h", 512), kw.get("w", 512), kw.get("num_steps", 100),
-            kw.get("sampler", "ddim_sampler"), str(kw.get("prior_steps", "25")),
-        )
+        # all kwargs are static shape/program parameters for every pipeline
+        # version (h/w/num_steps for 2.x, decoder_steps/prior_steps for 2.2);
+        # requests batch together only when the compiled program is identical
+        return tuple(sorted((k, str(v)) for k, v in self.kwargs.items()))
 
 
 class GenerationServer:
