@@ -77,11 +77,14 @@ def make_unclip_train_step(
     tx: optax.GradientTransformation,
     *,
     schedule_sampler: str = "uniform",
-    ema_decay: float = 0.9999,
+    ema_decay: Optional[float] = 0.9999,
     inpainting: bool = False,
     data_axis: Optional[str] = None,
+    remat: bool = False,
 ):
-    """Build (init_state, train_step).
+    """Build (init_state, train_step).  ``remat`` wraps the UNet forward in
+    jax.checkpoint — required at full model size on a single chip (activation
+    memory of the 1.22B backward exceeds HBM otherwise).
 
     ``train_step(state, batch, rng)`` expects a batch dict with:
       image_latents [B,h,w,4] (MoVQ-encoded, scaled), full_emb, pooled_emb,
@@ -100,7 +103,7 @@ def make_unclip_train_step(
         return TrainState(
             params=params,
             opt_state=tx.init(params),
-            ema_params=params,
+            ema_params=params if ema_decay is not None else None,
             step=jnp.zeros((), jnp.int32),
             sampler_state=(
                 init_loss_aware(sched.num_timesteps)
@@ -119,7 +122,7 @@ def make_unclip_train_step(
         noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
 
         def loss_fn(params):
-            def model_fn(x_t, t_model):
+            def raw_model_fn(params, x_t, t_model):
                 kwargs = dict(
                     full_emb=batch["full_emb"],
                     pooled_emb=batch["pooled_emb"],
@@ -129,6 +132,12 @@ def make_unclip_train_step(
                     kwargs["inpaint_image"] = batch["inpaint_image"]
                     kwargs["inpaint_mask"] = batch["inpaint_mask"]
                 return unet.apply({"params": params}, x_t, t_model, **kwargs)
+
+            if remat:
+                raw_model_fn = jax.checkpoint(raw_model_fn)
+
+            def model_fn(x_t, t_model):
+                return raw_model_fn(params, x_t, t_model)
 
             terms = training_losses(
                 sched, model_fn, x0, t, noise,
@@ -146,8 +155,12 @@ def make_unclip_train_step(
             loss = jax.lax.pmean(loss, data_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema_params = ema_update(
-            state.ema_params, params, ema_decay, num_updates=state.step
+        # EMA is optional: the shadow tree doubles parameter memory, which
+        # does not fit for full-size single-chip fine-tuning
+        ema_params = (
+            ema_update(state.ema_params, params, ema_decay,
+                       num_updates=state.step)
+            if ema_decay is not None else None
         )
         sampler_state = state.sampler_state
         if schedule_sampler == "loss-second-moment":
