@@ -110,20 +110,24 @@ def train_prior(
     seed: int = 0,
     log_every: int = 50,
 ):
-    """Single-host loop (trainer_prior.py:29-70)."""
-    from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    """Single-host loop (trainer_prior.py:29-70).  Resume restores the FULL
+    TrainState (params, opt_state, EMA, step) — see train_unclip."""
+    from .checkpoint import (
+        latest_train_state,
+        restore_train_state,
+        save_checkpoint,
+        save_train_state,
+    )
 
     if tx is None:
         tx = optax.adafactor(learning_rate=5e-6)
     init_state, train_step = make_prior_train_step(
         prior, diffusion_config, tx, ema_decay=ema_decay
     )
-    ckpt_file, start_step = latest_checkpoint(save_path)
-    if ckpt_file:
-        params = load_checkpoint(ckpt_file)
     state = init_state(params)
-    if start_step:
-        state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+    state_file, start_step = latest_train_state(save_path)
+    if state_file:
+        state = restore_train_state(state_file, state)
     train_step = jax.jit(train_step)
     rng = jax.random.PRNGKey(seed)
     step = start_step
@@ -134,6 +138,7 @@ def train_prior(
             if step % log_every == 0:
                 print(f"step {step}: loss {float(metrics['loss']):.5f}", flush=True)
             if step % save_every == 0:
-                save_checkpoint(save_path, state.params, step)
-    save_checkpoint(save_path, state.params, step)
+                save_train_state(save_path, state, step)
+    save_train_state(save_path, state, step)
+    save_checkpoint(save_path, state.params, step)  # inference weight export
     return state

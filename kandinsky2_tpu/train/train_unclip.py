@@ -205,8 +205,18 @@ def train_unclip(
 ):
     """Single-host training loop (trainer_2_1_uclip.py:39-81 semantics +
     atomic checkpointing).  ``prepare_batch(raw)`` runs the frozen encoders
-    (MoVQ/text/CLIP) and returns the train-step batch dict."""
-    from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    (MoVQ/text/CLIP) and returns the train-step batch dict.
+
+    Resume is full-fidelity: the entire TrainState (params, optimizer state,
+    EMA, sampler history, step-folded RNG position) is restored, so a
+    resumed run is bitwise-identical to an uninterrupted one given the same
+    batch sequence (tests/test_checkpoint_resume.py)."""
+    from .checkpoint import (
+        latest_train_state,
+        restore_train_state,
+        save_checkpoint,
+        save_train_state,
+    )
 
     if tx is None:
         tx = optax.adafactor(learning_rate=5e-6)  # train_configs default lr
@@ -216,12 +226,10 @@ def train_unclip(
         unet, diffusion_config, tx, schedule_sampler=schedule_sampler,
         ema_decay=ema_decay, inpainting=inpainting,
     )
-    ckpt_file, start_step = latest_checkpoint(save_path)
-    if ckpt_file:
-        params = load_checkpoint(ckpt_file)
     state = init_state(params)
-    if start_step:
-        state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+    state_file, start_step = latest_train_state(save_path)
+    if state_file:
+        state = restore_train_state(state_file, state)
     train_step = jax.jit(train_step)
     rng = jax.random.PRNGKey(seed)
     step = start_step
@@ -234,6 +242,7 @@ def train_unclip(
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 print(f"step {step}: {m}", flush=True)
             if step % save_every == 0:
-                save_checkpoint(save_path, state.params, step)
-    save_checkpoint(save_path, state.params, step)
+                save_train_state(save_path, state, step)
+    save_train_state(save_path, state, step)
+    save_checkpoint(save_path, state.params, step)  # inference weight export
     return state
