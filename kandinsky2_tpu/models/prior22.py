@@ -60,6 +60,11 @@ class PriorTransformer22(nn.Module):
     embedding_dim: int = 1280
     num_embeddings: int = 77
     additional_embeddings: int = 4
+    # sequence layout: names in concatenation order. "text" is the 77-token
+    # encoder-states block; the rest are single positions.  Kept as data (not
+    # code) so a layout mismatch vs the real checkpoint is a config fix —
+    # see weights/configs22.py and tests/test_configs22.py.
+    embedding_order: tuple = ("text", "proj", "time", "x", "prd")
     dtype: Dtype = jnp.float32
 
     @property
@@ -122,21 +127,37 @@ class PriorTransformer22(nn.Module):
         prd = jnp.broadcast_to(
             self.prd_embedding.astype(dt), (B, 1, self.inner_dim)
         )
-        seq = jnp.concatenate(
-            [enc, proj[:, None], t_emb[:, None], hx[:, None], prd], axis=1
-        )
+        pieces = {
+            "text": enc,
+            "proj": proj[:, None],
+            "time": t_emb[:, None],
+            "x": hx[:, None],
+            "prd": prd,
+        }
+        ones = jnp.ones((B, 1), bool)
+        mask_pieces = {
+            k: (mask.astype(bool) if k == "text" else ones) for k in pieces
+        }
+        seq = jnp.concatenate([pieces[k] for k in self.embedding_order], axis=1)
         seq = seq + self.positional_embedding.astype(dt)
-        # [proj, time, x, prd] are the 4 appended positions
-        mask = jnp.pad(
-            mask.astype(bool), ((0, 0), (0, self.additional_embeddings)),
-            constant_values=True,
+        mask = jnp.concatenate(
+            [mask_pieces[k] for k in self.embedding_order], axis=1
         )
         add_mask = jnp.where(mask, 0.0, NEG_INF)[:, None, None, :]
         h = seq
         for blk in self.blocks:
             h = blk(h, add_mask)
         h = self.norm_out(h)
-        return self.proj_to_clip_embeddings(h[:, -1]).astype(jnp.float32)
+        # the prediction is read at the prd token's position
+        prd_end = sum(
+            (self.num_embeddings if k == "text" else 1)
+            for k in self.embedding_order[
+                : self.embedding_order.index("prd") + 1
+            ]
+        )
+        return self.proj_to_clip_embeddings(h[:, prd_end - 1]).astype(
+            jnp.float32
+        )
 
     def post_process(self, latents):
         return latents * self.clip_std + self.clip_mean

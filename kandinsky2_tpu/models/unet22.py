@@ -195,8 +195,21 @@ class UNet22(nn.Module):
     cross_attention_dim: int = 768
     encoder_hid_dim: int = 1280
     num_image_tokens: int = 10
-    # which blocks carry attention: diffusers down_block_types
-    # [ResnetDownsample, SimpleCrossAttn x3] / ups reversed
+    # which blocks carry attention comes straight from the checkpoint's
+    # config.json (diffusers down/up_block_types): a block type containing
+    # "CrossAttn" gets AddedKVAttention after each resnet
+    down_block_types: Sequence[str] = (
+        "ResnetDownsampleBlock2D",
+        "SimpleCrossAttnDownBlock2D",
+        "SimpleCrossAttnDownBlock2D",
+        "SimpleCrossAttnDownBlock2D",
+    )
+    up_block_types: Sequence[str] = (
+        "SimpleCrossAttnUpBlock2D",
+        "SimpleCrossAttnUpBlock2D",
+        "SimpleCrossAttnUpBlock2D",
+        "ResnetUpsampleBlock2D",
+    )
     controlnet_hint: bool = False
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
@@ -234,7 +247,7 @@ class UNet22(nn.Module):
                 )
                 ch = out_ch
                 skips.append(ch)
-                if i > 0:  # SimpleCrossAttn blocks are levels 1..3
+                if "CrossAttn" in self.down_block_types[i]:
                     attns.append(
                         AddedKVAttention(
                             ch, ch // self.attention_head_dim, eps=self.eps,
@@ -273,7 +286,7 @@ class UNet22(nn.Module):
         rev_channels = list(reversed(self.block_out_channels))
         for i, out_ch in enumerate(rev_channels):
             resnets, attns = [], []
-            is_attn_block = i < n_levels - 1  # SimpleCrossAttnUp x3, then Resnet
+            is_attn_block = "CrossAttn" in self.up_block_types[i]
             for j in range(self.layers_per_block + 1):
                 skip_ch = skips.pop()
                 resnets.append(

@@ -63,12 +63,15 @@ class Kandinsky2_2:
         in_ch = {"text2img": 4, "img2img": 4, "inpainting": 9, "controlnet": 8}[
             task_type
         ]
-        self.unet = UNet22(
+        # checkpoint-config overrides (weights/configs22.py) win over the
+        # task-type defaults
+        unet_kw = dict(
             in_channels=in_ch,
             controlnet_hint=(task_type == "controlnet"),
             dtype=dtype,
-            **ov.get("unet", {}),
         )
+        unet_kw.update(ov.get("unet", {}))
+        self.unet = UNet22(**unet_kw)
         self.movq = MOVQ(dtype=dtype, **ov.get("movq", {}))
         self.movq_scale = 1.0
         self.tokenizer = tokenizer

@@ -121,18 +121,29 @@ def build_kandinsky22(
     dtype=None,
     tokenizer=None,
 ):
-    """Assemble a Kandinsky2_2 pipeline from local diffusers snapshots."""
+    """Assemble a Kandinsky2_2 pipeline from local diffusers snapshots.
+
+    The module layout (block types, widths, the ImageProjection token count,
+    the prior's embedding layout) is read from the snapshots' config.json
+    files — NOT hardcoded — via weights/configs22.py; num_image_tokens is
+    additionally grounded in the actual unet weight shapes."""
     import jax
     import jax.numpy as jnp
 
     from ..pipelines.kandinsky2_2 import Kandinsky2_2
+    from .configs22 import pipeline_overrides
 
+    unet_sd = _load_diffusers_sd(decoder_dir, "unet")
+    overrides = pipeline_overrides(
+        prior_dir, decoder_dir, task_type, unet_sd=unet_sd
+    )
     pipe = Kandinsky2_2(
-        task_type=task_type, tokenizer=tokenizer, dtype=dtype or jnp.bfloat16
+        task_type=task_type, tokenizer=tokenizer, dtype=dtype or jnp.bfloat16,
+        overrides=overrides,
     )
     shapes = pipe.init_random_params()
     params = {
-        "unet": load_unet22(decoder_dir, shapes["unet"]),
+        "unet": convert_state_dict(unet_sd, shapes["unet"], strict=False),
         "movq": load_movq22(decoder_dir, shapes["movq"]),
         "prior": load_prior22(prior_dir, shapes["prior"]),
         "image_encoder": load_image_encoder22(prior_dir, shapes["image_encoder"]),
