@@ -52,9 +52,10 @@ def qkv_attention(
         the Pallas kernel is usable on this backend)
     Returns: [B, T, H, ch]
     """
-    # Measured on v5e: the Pallas kernel beats XLA once the sequence is long
-    # AND there are enough batch*head grid slots (2x at T~4200, B*H=24); XLA
-    # wins for short sequences and the MoVQ-style single fat head.
+    # Measured on v5e (bench_attention.py, BENCH_ATTENTION.json): flash wins
+    # 1.6-1.8x fwd AND bwd at T>=4096 with B*H>=16; roughly ties at T=2304;
+    # loses for short sequences and the MoVQ single fat 512-d head (B*H=1,
+    # bwd 0.70x) — those stay on the XLA path.
     if impl == "flash" or (
         impl == "auto"
         and mask is None
