@@ -32,7 +32,14 @@ from ..diffusion import (
 from ..models.movq import AutoencoderKL
 from ..models.t5 import T5Encoder
 from ..models.text_encoders import TextEncoder
-from ..utils import get_new_h_w, prepare_image, prepare_mask, process_images
+from ..utils import (
+    as_prompt_list,
+    get_new_h_w,
+    prepare_image,
+    prepare_mask,
+    process_images,
+    resolve_batch,
+)
 
 
 class Kandinsky2:
@@ -155,17 +162,19 @@ class Kandinsky2:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
-    def encode_text(self, prompt: str, batch_size: int):
+    def encode_text(self, prompt, batch_size: int):
         """Both text streams for [prompt]*B + [""]*B
-        (kandinsky2_model.py:86-102, 133-144)."""
+        (kandinsky2_model.py:86-102, 133-144).  ``prompt`` may be a list of
+        B distinct prompts (serving batches)."""
+        prompts = as_prompt_list(prompt, batch_size)
         enc1 = self.tokenizer1(
-            [prompt] * batch_size + [""] * batch_size,
+            prompts + [""] * batch_size,
             max_length=min(77, self.text_encoder1.max_positions - 2),
             padding="max_length", truncation=True, return_attention_mask=True,
             add_special_tokens=True, return_tensors="np",
         )
         enc2 = self.tokenizer2(
-            [prompt] * batch_size + [""] * batch_size,
+            prompts + [""] * batch_size,
             max_length=77, padding="max_length", truncation=True,
             return_attention_mask=True, add_special_tokens=True,
             return_tensors="np",
@@ -282,6 +291,7 @@ class Kandinsky2:
         ddim_eta=0.8,
     ):
         """kandinsky2_model.py:104-250."""
+        batch_size = resolve_batch(prompt, batch_size)
         new_h, new_w = get_new_h_w(h, w)
         inpainting = self.task_type == "inpainting"
         full1, pooled1, full2 = self.encode_text(prompt, batch_size)

@@ -41,7 +41,14 @@ from ..diffusion import (
 from ..models.movq import MOVQ
 from ..models.prior import PriorTransformer, prior_sample_fn
 from ..models.text_encoders import CLIPTextTower, CLIPViT, TextEncoder
-from ..utils import get_new_h_w, prepare_image, prepare_mask, process_images
+from ..utils import (
+    as_prompt_list,
+    get_new_h_w,
+    prepare_image,
+    prepare_mask,
+    process_images,
+    resolve_batch,
+)
 
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
@@ -210,20 +217,39 @@ class Kandinsky2_1:
         return init
 
     def shard(self, mesh=None, model_parallel: Optional[int] = None,
-              min_size: int = 1024):
+              min_size: int = 1024, min_candidate_frac: float = 0.5,
+              verbose: bool = True):
         """Tensor-parallel placement over a ``(data, model)`` mesh for
         multi-chip serving (v5e-8): large kernels shard on the model axis,
         everything else replicates; XLA inserts the ICI collectives.  Call
         after params are loaded; subsequent jitted calls pick the shardings up
-        from the arguments."""
-        from ..parallel import make_mesh, shard_params
+        from the arguments.
+
+        Prints a coverage report and raises if under ``min_candidate_frac``
+        of the large-kernel bytes actually sharded (a module rename silently
+        replicating is exactly the failure mode that matters on a real
+        v5e-8)."""
+        from ..parallel import ShardingReport, make_mesh, shard_params
 
         mesh = mesh or make_mesh(model_parallel=model_parallel)
         self.mesh = mesh
+        report = ShardingReport()
         self.params = {
-            k: shard_params(v, mesh, min_size=min_size)
+            k: shard_params(v, mesh, min_size=min_size, report=report)
             for k, v in self.params.items()
         }
+        self.sharding_report = report
+        if verbose:
+            print(f"[kandinsky2_tpu] shard(): {report.summary()}")
+        if report.fallbacks and verbose:
+            print(f"[kandinsky2_tpu] shard(): divisibility fallbacks: "
+                  f"{report.fallbacks[:8]}")
+        if min_candidate_frac > 0 and report.candidate_frac < min_candidate_frac:
+            raise ValueError(
+                f"sharding coverage too low: {report.summary()} — expected "
+                f">= {100 * min_candidate_frac:.0f}% of candidate kernel "
+                "bytes sharded; did a module rename break the marker rules?"
+            )
         return mesh
 
     def set_seed(self, seed: int) -> None:
@@ -245,11 +271,12 @@ class Kandinsky2_1:
     # conditioning encoders
     # ------------------------------------------------------------------
 
-    def encode_text(self, prompt: str, batch_size: int):
+    def encode_text(self, prompt, batch_size: int):
         """XLM-R full/pooled embeddings for [prompt]*B + [""]*B
-        (kandinsky2_1_model.py:115-131)."""
+        (kandinsky2_1_model.py:115-131).  ``prompt`` may be a list of B
+        distinct prompts (serving batches)."""
         enc = self.tokenizer1(
-            [prompt] * batch_size + [""] * batch_size,
+            as_prompt_list(prompt, batch_size) + [""] * batch_size,
             max_length=min(77, self.text_encoder.max_positions - 2),
             padding="max_length", truncation=True,
             return_attention_mask=True, add_special_tokens=True,
@@ -271,10 +298,10 @@ class Kandinsky2_1:
     ):
         """CLIP text feats -> guided prior sample (kandinsky2_1_model.py:133-175)."""
         tok, mask = self.tokenizer2.padded_tokens_and_mask(
-            [prompt] * batch_size, self.prior.text_ctx
+            as_prompt_list(prompt, batch_size), self.prior.text_ctx
         )
         cf_tok, cf_mask = self.tokenizer2.padded_tokens_and_mask(
-            [negative_prior_prompt] * batch_size, self.prior.text_ctx
+            as_prompt_list(negative_prior_prompt, batch_size), self.prior.text_ctx
         )
         tok = jnp.asarray(np.concatenate([tok, cf_tok]))
         mask = jnp.asarray(np.concatenate([mask, cf_mask]))
@@ -325,10 +352,16 @@ class Kandinsky2_1:
 
     def _build_latent_fn(
         self, *, sampler, num_steps, new_h, new_w, batch_size, init_step,
-        inpainting,
+        inpainting, turbo_interval=1,
     ):
         """One jitted program: UNet conditioning encode -> scanned denoise ->
-        MoVQ decode."""
+        MoVQ decode.
+
+        ``turbo_interval`` > 1 enables DeepCache-style sampling: the UNet's
+        deep branch (everything below level 0) is recomputed every
+        ``turbo_interval`` steps and reused in between, skipping ~2/3 of the
+        per-step FLOPs on cached steps.  Non-parity (small quality drift);
+        interval 1 is the exact reference trajectory."""
         mc = self.config["model_config"]
         C = mc["in_channels"]
         dkw = schedule_kwargs(
@@ -341,6 +374,11 @@ class Kandinsky2_1:
                 np.asarray(sched.alphas_cumprod, np.float64), num_steps,
                 init_step=init_step,
             )
+        turbo = turbo_interval > 1
+        if turbo:
+            from ..models.unet import deep_cache_spec
+
+            cache_ds, cache_ch = deep_cache_spec(self.unet)
 
         def fn(params, full_emb, pooled_emb, image_emb, guidance_scale, rng,
                x_T, inpaint_image, inpaint_mask):
@@ -350,27 +388,47 @@ class Kandinsky2_1:
                 method=self.unet.encode_conditioning,
             )
 
-            def model_fn(x, t_model):
+            def unet_in(x, t_model):
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t_model, t_model], axis=0)
+                args = (x2, t2, xf_proj, xf_out)
                 if inpainting:
-                    out = self.unet.apply(
-                        {"params": params["unet"]}, x2, t2, xf_proj, xf_out,
+                    args += (
                         jnp.concatenate([inpaint_image, inpaint_image], 0),
                         jnp.concatenate([inpaint_mask, inpaint_mask], 0),
-                        method=self.unet.denoise,
                     )
-                else:
-                    out = self.unet.apply(
-                        {"params": params["unet"]}, x2, t2, xf_proj, xf_out,
-                        method=self.unet.denoise,
-                    )
+                return args
+
+            def mix(out):
                 eps, rest = out[..., :C], out[..., C:]
                 cond_eps, uncond_eps = eps[:batch_size], eps[batch_size:]
                 eps_g = uncond_eps + guidance_scale * (cond_eps - uncond_eps)
                 if sampler == "p_sampler":
                     return jnp.concatenate([eps_g, rest[:batch_size]], axis=-1)
                 return eps_g
+
+            def model_fn(x, t_model):
+                out = self.unet.apply(
+                    {"params": params["unet"]}, *unet_in(x, t_model),
+                    method=self.unet.denoise,
+                )
+                return mix(out)
+
+            def model_fn_turbo(x, t_model, cache, pos):
+                refresh = (pos % turbo_interval) == 0
+                out, cache = self.unet.apply(
+                    {"params": params["unet"]}, *unet_in(x, t_model),
+                    cache, refresh, method=self.unet.denoise_cached,
+                )
+                return mix(out), cache
+
+            model_state = None
+            if turbo:
+                model_state = jnp.zeros(
+                    (2 * batch_size, new_h // cache_ds, new_w // cache_ds,
+                     cache_ch),
+                    self.dtype,
+                )
 
             if inpainting:
                 def denoised_fn(x0):
@@ -379,17 +437,21 @@ class Kandinsky2_1:
             else:
                 denoised_fn = lambda x0: jnp.clip(x0, -2, 2)
 
+            active_fn = model_fn_turbo if turbo else model_fn
             if sampler == "p_sampler":
                 samples = p_sample_loop(
-                    model_fn, sched, x_T, rng,
+                    active_fn, sched, x_T, rng,
                     mean_type=dkw["mean_type"], var_type=dkw["var_type"],
                     clip_denoised=True, denoised_fn=denoised_fn,
                     init_step=init_step, channel_axis=-1,
+                    model_state=model_state,
                 )
             elif sampler == "ddim_sampler":
-                samples = ddim_loop(model_fn, tables, x_T)
+                samples = ddim_loop(active_fn, tables, x_T,
+                                    model_state=model_state)
             elif sampler == "plms_sampler":
-                samples = plms_loop(model_fn, tables, x_T)
+                samples = plms_loop(active_fn, tables, x_T,
+                                    model_state=model_state)
             else:
                 raise ValueError(
                     "Only p_sampler, ddim_sampler and plms_sampler are available"
@@ -407,6 +469,7 @@ class Kandinsky2_1:
         self, prompt, img_prompt, batch_size=1, guidance_scale=7,
         init_step=None, noise=None, init_img=None, img_mask=None,
         h=512, w=512, sampler="ddim_sampler", num_steps=50,
+        turbo_interval=1,
     ):
         """Core decoder loop + MoVQ decode (kandinsky2_1_model.py:183-292).
         ``img_prompt`` is the CFG-doubled [cond; uncond] image embedding."""
@@ -415,10 +478,11 @@ class Kandinsky2_1:
         full_emb, pooled_emb = self.encode_text(prompt, batch_size)
         fn = self._jit(
             ("gen", sampler, num_steps, new_h, new_w, batch_size, init_step,
-             inpainting),
+             inpainting, turbo_interval),
             lambda: self._build_latent_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step, inpainting=inpainting,
+                turbo_interval=turbo_interval,
             ),
         )
         if noise is None:
@@ -442,6 +506,7 @@ class Kandinsky2_1:
 
     def _build_text2img_fused_fn(
         self, *, sampler, num_steps, new_h, new_w, batch_size, prior_steps,
+        turbo_interval=1,
     ):
         """ONE XLA program for the whole text2img trajectory: CLIP text tower
         → guided prior (25-step scan) → zero-image negative emb → UNet
@@ -454,6 +519,7 @@ class Kandinsky2_1:
         decode_fn = self._build_latent_fn(
             sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
             batch_size=batch_size, init_step=None, inpainting=False,
+            turbo_interval=turbo_interval,
         )
 
         def fn(params, prior_tok, prior_mask, txt_tokens, txt_mask,
@@ -491,29 +557,31 @@ class Kandinsky2_1:
 
     def _generate_text2img_fused(
         self, prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
-        prior_cf_scale, prior_steps, negative_prior_prompt,
+        prior_cf_scale, prior_steps, negative_prior_prompt, turbo_interval=1,
     ):
         new_h, new_w = get_new_h_w(h, w)
+        prompts = as_prompt_list(prompt, batch_size)
         tok, mask = self.tokenizer2.padded_tokens_and_mask(
-            [prompt] * batch_size, self.prior.text_ctx
+            prompts, self.prior.text_ctx
         )
         cf_tok, cf_mask = self.tokenizer2.padded_tokens_and_mask(
-            [negative_prior_prompt] * batch_size, self.prior.text_ctx
+            as_prompt_list(negative_prior_prompt, batch_size), self.prior.text_ctx
         )
         prior_tok = jnp.asarray(np.concatenate([tok, cf_tok]))
         prior_mask = jnp.asarray(np.concatenate([mask, cf_mask]))
         enc = self.tokenizer1(
-            [prompt] * batch_size + [""] * batch_size,
+            prompts + [""] * batch_size,
             max_length=min(77, self.text_encoder.max_positions - 2),
             padding="max_length", truncation=True, return_attention_mask=True,
             add_special_tokens=True, return_tensors="np",
         )
         fn = self._jit(
             ("t2i_fused", sampler, num_steps, new_h, new_w, batch_size,
-             str(prior_steps)),
+             str(prior_steps), turbo_interval),
             lambda: self._build_text2img_fused_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, prior_steps=prior_steps,
+                turbo_interval=turbo_interval,
             ),
         )
         x_T = jax.random.normal(
@@ -533,15 +601,20 @@ class Kandinsky2_1:
         self, prompt, num_steps=100, batch_size=1, guidance_scale=7,
         h=512, w=512, sampler="ddim_sampler", prior_cf_scale=4,
         prior_steps="25", negative_prior_prompt="", negative_decoder_prompt="",
-        fused=True,
+        fused=True, turbo_interval=1,
     ):
         """kandinsky2_1_model.py:299-351.  With ``fused`` (default) and no
         negative decoder prompt the whole trajectory runs as one XLA
-        program."""
+        program.  ``prompt`` may be a list of distinct prompts; batch_size
+        is then inferred (one compiled program serves all of them).
+        ``turbo_interval`` > 1 enables DeepCache-style deep-branch reuse
+        (non-parity speedup; see _build_latent_fn)."""
+        batch_size = resolve_batch(prompt, batch_size)
         if fused and negative_decoder_prompt == "":
             return self._generate_text2img_fused(
                 prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
                 prior_cf_scale, prior_steps, negative_prior_prompt,
+                turbo_interval=turbo_interval,
             )
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
@@ -561,7 +634,7 @@ class Kandinsky2_1:
         return self.generate_img(
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
-            num_steps=num_steps,
+            num_steps=num_steps, turbo_interval=turbo_interval,
         )
 
     def mix_images(
@@ -608,6 +681,7 @@ class Kandinsky2_1:
     ):
         """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
         strength-derived step, truncated ladder."""
+        batch_size = resolve_batch(prompt, batch_size)
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps,
@@ -645,6 +719,7 @@ class Kandinsky2_1:
         negative_decoder_prompt="",
     ):
         """kandinsky2_1_model.py:486-548: latent-mask-blended inpainting."""
+        batch_size = resolve_batch(prompt, batch_size)
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, negative_prior_prompt=negative_prior_prompt,

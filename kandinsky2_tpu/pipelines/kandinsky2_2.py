@@ -31,7 +31,7 @@ from ..models.movq import MOVQ
 from ..models.prior22 import HFCLIPText, PriorTransformer22
 from ..models.text_encoders import HFCLIPVision
 from ..models.unet22 import UNet22
-from ..utils import prepare_image, process_images
+from ..utils import as_prompt_list, prepare_image, process_images, resolve_batch
 from .kandinsky2_1 import clip_preprocess
 
 
@@ -194,7 +194,8 @@ class Kandinsky2_2:
         """Guided prior sampling -> de-normalized image embeds [B, 1280]
         (diffusers KandinskyV22PriorPipeline semantics)."""
         hidden, proj, mask = self._encode_text(
-            [negative_prompt] * batch_size + [prompt] * batch_size
+            as_prompt_list(negative_prompt, batch_size)
+            + as_prompt_list(prompt, batch_size)
         )
         ladder = unclip_ladder(prior_steps)
         D = self.prior.embedding_dim
@@ -330,6 +331,7 @@ class Kandinsky2_2:
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
     ):
+        batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
@@ -344,6 +346,7 @@ class Kandinsky2_2:
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
     ):
+        batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
@@ -403,6 +406,7 @@ class Kandinsky2_2:
     ):
         """``img_mask``: 1 = repaint (diffusers >= 0.19 convention for
         Kandinsky inpainting)."""
+        batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
@@ -431,6 +435,7 @@ class Kandinsky2_2:
         """ControlNet-depth: ``hint`` is an [H, W, 3] array in [0, 1]
         (e.g. MiDaS depth, host-side preprocessing as in
         notebooks/kandinsky2_2_controlnet.ipynb)."""
+        batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,

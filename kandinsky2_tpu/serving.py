@@ -4,11 +4,15 @@ The reference is a notebook library; this is the runtime tier a deployment
 needs around the compiled pipelines:
 
 * ``GenerationServer.warmup(shapes)`` precompiles the (resolution, steps,
-  batch) executables so first user requests don't pay compile time (the
-  persistent compilation cache in /tmp/jax_cache covers process restarts).
+  batch-bucket) executables so first user requests don't pay compile time
+  (the persistent compilation cache in /tmp/jax_cache covers restarts).
 * Requests enqueue; a single device-owner thread drains the queue, groups
-  requests with identical static shape keys into one batched pipeline call
-  (CFG-doubled on chip), and resolves per-request futures.
+  requests with identical static shape keys into ONE batched pipeline call —
+  the pipelines accept a list of *distinct* prompts, so different users'
+  requests share a compiled program (CFG-doubled on chip).
+* Coalesced batches round up to power-of-two buckets (1, 2, 4, ... max_batch)
+  by repeating the last prompt, so at most log2(max_batch)+1 executables per
+  shape key exist; surplus images are dropped host-side.
 * Backpressure via a bounded queue; clean shutdown.
 
 Device work stays single-threaded (one stream owner); the host side is
@@ -56,13 +60,26 @@ class GenerationServer:
 
     # ------------------------------------------------------------------
 
+    def _buckets(self) -> List[int]:
+        out, b = [], 1
+        while b < self.max_batch:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch)
+        return out
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets():
+            if n <= b:
+                return b
+        return self.max_batch
+
     def warmup(self, shapes: List[dict]) -> None:
-        """Precompile executables for a list of generate_text2img kwargs."""
+        """Precompile executables for every (kwargs, batch-bucket) pair."""
         for kw in shapes:
-            self.pipeline.generate_text2img("warmup", batch_size=1, **kw)
-            if self.max_batch > 1:
+            for b in self._buckets():
                 self.pipeline.generate_text2img(
-                    "warmup", batch_size=self.max_batch, **kw
+                    ["warmup"] * b, batch_size=b, **kw
                 )
 
     def start(self) -> None:
@@ -101,7 +118,7 @@ class GenerationServer:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if req.shape_key() == key and req.prompt is not None:
+            if req.shape_key() == key:
                 batch.append(req)
             else:
                 leftovers.append(req)
@@ -115,21 +132,17 @@ class GenerationServer:
             if not batch:
                 continue
             try:
-                if len(batch) == 1 or len({r.prompt for r in batch}) > 1:
-                    # distinct prompts: run per request (the pipeline batches
-                    # the CFG halves on chip regardless)
-                    for req in batch:
-                        images = self.pipeline.generate_text2img(
-                            req.prompt, batch_size=1, **req.kwargs
-                        )
-                        req.future.set_result(images)
-                else:
-                    images = self.pipeline.generate_text2img(
-                        batch[0].prompt, batch_size=len(batch),
-                        **batch[0].kwargs,
-                    )
-                    for req, img in zip(batch, images):
-                        req.future.set_result([img])
+                # one compiled program serves the whole batch, distinct
+                # prompts included; pad to the warmed bucket so coalesced
+                # sizes 3, 5, 6... reuse the 4- and 8-wide executables
+                b = self._bucket_for(len(batch))
+                prompts = [r.prompt for r in batch]
+                prompts += [prompts[-1]] * (b - len(batch))
+                images = self.pipeline.generate_text2img(
+                    prompts, batch_size=b, **batch[0].kwargs
+                )
+                for req, img in zip(batch, images):
+                    req.future.set_result([img])
             except Exception as e:  # pragma: no cover - error propagation
                 for req in batch:
                     if not req.future.done():

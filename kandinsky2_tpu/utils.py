@@ -72,6 +72,35 @@ def process_images(batch: np.ndarray):
     return [Image.fromarray(scaled[i]) for i in range(scaled.shape[0])]
 
 
+def as_prompt_list(prompt, batch_size: int) -> list[str]:
+    """Normalize a prompt argument to a per-sample list of length B.
+
+    The reference API takes one prompt string repeated ``batch_size`` times
+    (kandinsky2_1_model.py:299-351); we additionally accept a list of
+    *distinct* prompts so a serving tier can coalesce different users'
+    requests into one compiled program (the tokenizers and conditioning
+    encoders batch naturally).  A single-element list broadcasts.
+    """
+    if isinstance(prompt, str):
+        return [prompt] * batch_size
+    prompts = [str(p) for p in prompt]
+    if len(prompts) == 1 and batch_size > 1:
+        return prompts * batch_size
+    if len(prompts) != batch_size:
+        raise ValueError(
+            f"got {len(prompts)} prompts for batch_size={batch_size}; pass "
+            "one prompt, or exactly batch_size prompts"
+        )
+    return prompts
+
+
+def resolve_batch(prompt, batch_size: int) -> int:
+    """Infer batch size from a prompt list when the caller left it at 1."""
+    if not isinstance(prompt, str) and batch_size == 1:
+        return max(len(list(prompt)), 1)
+    return batch_size
+
+
 def get_new_h_w(h: int, w: int) -> tuple[int, int]:
     """Pixel dims -> latent dims, 64-px aligned (kandinsky2_1_model.py:106-113):
     latent cell = 8 * ceil(dim/64)."""

@@ -105,6 +105,20 @@ def test_text2img(pipe, sampler):
     assert np.isfinite(arr.astype(np.float32)).all()
 
 
+def test_text2img_prompt_list(pipe):
+    """A list of distinct prompts runs as one program with per-row
+    conditioning: batch inferred, rows differ."""
+    pipe.set_seed(0)
+    imgs = pipe.generate_text2img(
+        ["a red cat", "a very different extremely long blue dog prompt"],
+        num_steps=4, h=64, w=64, sampler="ddim_sampler", prior_steps="3",
+    )
+    assert len(imgs) == 2
+    a, b = (np.asarray(im, np.float32) for im in imgs)
+    assert a.shape == b.shape == (64, 64, 3)
+    assert not np.allclose(a, b), "distinct prompts must give distinct rows"
+
+
 def test_text2img_nonsquare_and_negative(pipe):
     imgs = pipe.generate_text2img(
         "a cat", num_steps=4, batch_size=2, h=96, w=64,
