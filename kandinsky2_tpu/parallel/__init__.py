@@ -1,1 +1,7 @@
-from .mesh import make_mesh, shard_params, data_sharding, replicate
+from .mesh import (
+    ShardingReport,
+    data_sharding,
+    make_mesh,
+    replicate,
+    shard_params,
+)

@@ -43,6 +43,24 @@ def test_shard_params_and_matmul():
     np.testing.assert_allclose(np.asarray(out), np.full((8, 2048), 256.0))
 
 
+def test_sharding_coverage_guard_raises():
+    """min_candidate_frac fails loudly when markers match nothing (e.g. a
+    module rename broke the substring rules)."""
+    import pytest
+
+    from kandinsky2_tpu.parallel import ShardingReport
+    from kandinsky2_tpu.parallel.mesh import shard_params as sp
+
+    mesh = make_mesh(8, model_parallel=4)
+    # a large kernel whose dims do NOT divide the model axis -> fallback
+    params = {"layer": {"qkv": {"kernel": jnp.ones((258, 2050))}}}
+    rep = ShardingReport()
+    sp(params, mesh, min_size=64, report=rep)
+    assert rep.candidate_frac == 0.0 and len(rep.fallbacks) == 1
+    with pytest.raises(ValueError, match="coverage too low"):
+        sp(params, mesh, min_size=64, min_candidate_frac=0.5)
+
+
 def test_dryrun_multichip():
     import __graft_entry__
 
@@ -66,6 +84,10 @@ def test_sharded_inference_pipeline():
     )
     mesh = pipe.shard(model_parallel=4, min_size=64)
     assert mesh.devices.size == 8
+    # coverage report: most candidate kernel bytes actually sharded, and the
+    # call raises below min_candidate_frac (the silent-replication guard)
+    rep = pipe.sharding_report
+    assert rep.sharded_params > 0 and rep.candidate_frac >= 0.5, rep.summary()
     # at least one kernel actually sharded
     flat = jax.tree_util.tree_leaves(pipe.params["unet"])
     assert any(not leaf.sharding.is_fully_replicated for leaf in flat)
