@@ -5,10 +5,14 @@ fixed seed.  Offline (no LPIPS weights available) the suite proves fidelity
 by seeded bit-parity (tests/test_e2e_seeded_parity.py); this module provides
 the runtime metrics for validating real checkpoints:
 
-* psnr / ssim — classical pixel metrics
-* clip_perceptual_distance — an LPIPS-style perceptual distance using the
-  pipeline's own (jitted) CLIP vision tower features, so no extra weights are
-  needed beyond what the pipeline already loads.
+* psnr / ssim — classical pixel metrics (ssim is the standard 11x11
+  Gaussian-windowed formulation)
+* clip_perceptual_distance — cosine distance between pooled CLIP image
+  embeddings from the pipeline's own (jitted) vision tower.  This is a
+  *semantic drift* gate, NOT LPIPS: it uses one pooled embedding, so it will
+  not resolve 0.02-level texture differences.  The BASELINE LPIPS gate needs
+  real LPIPS (torchvision VGG/Alex weights) once the network exists —
+  ``validate.py`` reports both and labels them honestly.
 """
 
 from __future__ import annotations
@@ -27,24 +31,48 @@ def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
     return float(20 * np.log10(data_range) - 10 * np.log10(mse))
 
 
-def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
-    """Global (single-window) SSIM — sufficient as a conversion sanity gate."""
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
-    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
-    return float(
-        ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
-        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+def _gaussian_kernel1d(sigma: float = 1.5, radius: int = 5) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _filter2d(img: np.ndarray, k1d: np.ndarray) -> np.ndarray:
+    """Separable 'valid' Gaussian filter over the leading two (H, W) axes."""
+    out = np.apply_along_axis(
+        lambda r: np.convolve(r, k1d, mode="valid"), 0, img
+    )
+    return np.apply_along_axis(
+        lambda r: np.convolve(r, k1d, mode="valid"), 1, out
     )
 
 
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0,
+         sigma: float = 1.5) -> float:
+    """Windowed SSIM (Wang et al. 2004): 11x11 Gaussian local statistics
+    averaged over positions and channels — the standard formulation, not a
+    single global window."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    k = _gaussian_kernel1d(sigma)
+    mu_a = _filter2d(a, k)
+    mu_b = _filter2d(b, k)
+    va = _filter2d(a * a, k) - mu_a**2
+    vb = _filter2d(b * b, k) - mu_b**2
+    cov = _filter2d(a * b, k) - mu_a * mu_b
+    ssim_map = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    )
+    return float(ssim_map.mean())
+
+
 def clip_perceptual_distance(pipe, img_a, img_b) -> float:
-    """LPIPS-style distance: 1 - cosine similarity of CLIP image embeddings
+    """Semantic drift: 1 - cosine similarity of pooled CLIP image embeddings
     computed with the pipeline's own vision tower.  ``img_a``/``img_b`` are
-    PIL images."""
+    PIL images.  Coarser than LPIPS (see module docstring)."""
     ea = np.asarray(pipe.encode_images(img_a, is_pil=True), np.float64)[0]
     eb = np.asarray(pipe.encode_images(img_b, is_pil=True), np.float64)[0]
     cos = float(
