@@ -78,6 +78,31 @@ def make_pipe21(small: bool, task_type="text2img"):
     )
 
 
+def make_pipe20(small: bool, task_type="text2img"):
+    import jax.numpy as jnp
+
+    if small:
+        import sys, os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+        from test_pipeline20 import tiny_config20
+
+        from kandinsky2_tpu.pipelines import Kandinsky2
+
+        p = Kandinsky2(
+            config=tiny_config20(), tokenizer1=StubHFTokenizer(),
+            tokenizer2=StubHFTokenizer(), task_type=task_type,
+            dtype=jnp.bfloat16,
+        )
+        p.init_random_params(cast=jnp.bfloat16)
+        return p, dict(num_steps=4, h=64, w=64)
+    from kandinsky2_tpu import get_kandinsky2
+
+    return get_kandinsky2(task_type=task_type, model_version="2.0"), dict(
+        num_steps=100, h=512, w=512
+    )
+
+
 def make_pipe22(small: bool, task_type="text2img"):
     import jax.numpy as jnp
 
