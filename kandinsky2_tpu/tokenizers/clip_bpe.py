@@ -6,8 +6,9 @@ subclasses openai-clip's SimpleTokenizer).  The merges table
 (``bpe_simple_vocab_16e6.txt.gz``) ships with the checkpoints; pass its path.
 
 Differences from openai-clip: if ``ftfy`` is unavailable we fall back to
-``html.unescape`` + whitespace normalization, which is equivalent for clean
-prompt text.
+``tokenizers.textfix.fix_text`` — a stdlib reimplementation of ftfy's
+mojibake repair + NFC normalization — so mojibake prompts still tokenize
+like the reference.
 """
 
 from __future__ import annotations
@@ -54,7 +55,9 @@ def _clean(text: str) -> str:
 
         text = ftfy.fix_text(text)
     except ImportError:
-        pass
+        from .textfix import fix_text
+
+        text = fix_text(text)
     text = html.unescape(html.unescape(text))
     return re.sub(r"\s+", " ", text.strip()).lower()
 

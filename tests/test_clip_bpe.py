@@ -59,3 +59,22 @@ def test_unicode_bytes(tok):
     ids = tok.encode("héllo ✨")
     assert all(isinstance(i, int) or np.issubdtype(type(i), np.integer) for i in ids)
     assert len(ids) > 0
+
+
+def test_textfix_mojibake_repair(tok):
+    """Without ftfy, mojibake prompts must tokenize identically to their
+    clean forms (reference routes prompts through ftfy.fix_text)."""
+    from kandinsky2_tpu.tokenizers.textfix import fix_text
+
+    cases = [
+        ("LÃ³pez", "López"),
+        ("Ã©tÃ©", "été"),
+        ("âœ” ok", "✔ ok"),
+        ("CafÃƒÂ©", "Café"),  # double-encoded
+        ("não", "não"),                      # legit text untouched
+        ("plain ascii", "plain ascii"),
+    ]
+    for src, want in cases:
+        assert fix_text(src) == want, (src, fix_text(src), want)
+    # end to end through the tokenizer: same ids for mojibake vs clean
+    assert tok.encode("LÃ³pez") == tok.encode("López")
