@@ -15,6 +15,12 @@ guidance batch-doubling happens inside ``model_fn``.
     (already mapped through timestep_map / rescaled).
   * returns the (already guidance-mixed) model output, with variance channels
     when the sampler needs them.
+
+Stateful variant (``model_state`` argument): when a loop receives an initial
+``model_state`` pytree, ``model_fn(x, t_model, state, pos) -> (out, state)``
+and the state rides the scan carry.  This powers cross-step feature caching
+(DeepCache-style turbo mode, ops-level cache of the UNet's deep branch) —
+``pos`` is the 0-based ladder position so the model can decide refresh steps.
 """
 
 from __future__ import annotations
@@ -65,22 +71,29 @@ def p_sample_loop(
     init_step: Optional[int] = None,
     noise_seq: Optional[jnp.ndarray] = None,
     channel_axis: int = 1,
+    model_state=None,
 ) -> jnp.ndarray:
     """Ancestral sampling loop (gaussian_diffusion.py:352-475) as one scan.
 
     ``init_step`` truncates the ladder for img2img
     (gaussian_diffusion.py:453-455). ``noise_seq`` optionally injects the
     per-step Gaussian noise ([num_steps, *x.shape], ordered from t=T-1 down)
-    for bit-exact comparison against the reference.
+    for bit-exact comparison against the reference.  With ``model_state``
+    the stateful contract applies (module docstring).
     """
     num = sched.num_timesteps if init_step is None else init_step
     indices = jnp.arange(num - 1, -1, -1, dtype=jnp.int32)
     B = x_T.shape[0]
+    stateful = model_state is not None
 
-    def step(x, scan_in):
+    def step(carry, scan_in):
+        x, state = carry
         pos, i = scan_in
         t = jnp.full((B,), i, dtype=jnp.int32)
-        model_out = model_fn(x, sched.model_timesteps(t))
+        if stateful:
+            model_out, state = model_fn(x, sched.model_timesteps(t), state, pos)
+        else:
+            model_out = model_fn(x, sched.model_timesteps(t))
         out = p_mean_variance(
             sched,
             model_out.astype(jnp.float32),
@@ -95,10 +108,12 @@ def p_sample_loop(
         noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
         nonzero = (t != 0).astype(x.dtype).reshape((B,) + (1,) * (x.ndim - 1))
         sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
-        return sample, None
+        return (sample, state), None
 
     positions = jnp.arange(num, dtype=jnp.int32)
-    x, _ = jax.lax.scan(step, x_T.astype(jnp.float32), (positions, indices))
+    (x, _), _ = jax.lax.scan(
+        step, (x_T.astype(jnp.float32), model_state), (positions, indices)
+    )
     return x
 
 
@@ -225,26 +240,35 @@ def ddim_loop(
     *,
     eta: float = 0.0,
     noise_seq: Optional[jnp.ndarray] = None,
+    model_state=None,
 ) -> jnp.ndarray:
     """Latent-diffusion-style DDIM loop (samplers.py:205-331), scanned.
 
-    ``model_fn`` returns eps only (guidance already applied)."""
+    ``model_fn`` returns eps only (guidance already applied).  With
+    ``model_state`` the stateful contract applies (module docstring)."""
     total = int(tables.timesteps.shape[0])
     B = x_T.shape[0]
+    stateful = model_state is not None
 
-    def step(x, pos):
+    def step(carry, pos):
+        x, state = carry
         index = total - pos - 1
         ts = jnp.full((B,), tables.timesteps[index], dtype=jnp.float32)
-        e_t = model_fn(x, ts).astype(jnp.float32)
+        if stateful:
+            e_t, state = model_fn(x, ts, state, pos)
+        else:
+            e_t = model_fn(x, ts)
+        e_t = e_t.astype(jnp.float32)
         if eta == 0.0:
             noise = jnp.zeros_like(x)
         else:
             noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
         x_prev, _ = _ddim_update(tables, x, e_t, index, noise)
-        return x_prev, None
+        return (x_prev, state), None
 
-    x, _ = jax.lax.scan(
-        step, x_T.astype(jnp.float32), jnp.arange(total, dtype=jnp.int32)
+    (x, _), _ = jax.lax.scan(
+        step, (x_T.astype(jnp.float32), model_state),
+        jnp.arange(total, dtype=jnp.int32),
     )
     return x
 
@@ -253,6 +277,8 @@ def plms_loop(
     model_fn: Callable,
     tables: DDIMTables,
     x_T: jnp.ndarray,
+    *,
+    model_state=None,
 ) -> jnp.ndarray:
     """PLMS (pseudo linear multistep) loop (samplers.py:474-637), scanned with
     a fixed-size eps-history buffer instead of a Python list.
@@ -260,22 +286,31 @@ def plms_loop(
     The first step's "pseudo improved Euler" needs a second model eval at
     ``t_next``; it is unrolled outside the scan so the scanned body stays a
     single model eval. PLMS is always eta=0 (samplers.py:356-357).
+    With ``model_state`` the stateful contract applies (module docstring).
     """
     total = int(tables.timesteps.shape[0])
     B = x_T.shape[0]
     x = x_T.astype(jnp.float32)
     zero_noise = jnp.zeros_like(x)
+    stateful = model_state is not None
+    state = model_state
 
-    def eval_model(x, index):
+    def eval_model(x, index, state, pos):
         ts = jnp.full((B,), tables.timesteps[index], dtype=jnp.float32)
-        return model_fn(x, ts).astype(jnp.float32)
+        if stateful:
+            out, state = model_fn(x, ts, state, pos)
+        else:
+            out = model_fn(x, ts)
+        return out.astype(jnp.float32), state
 
     # --- step 0 unrolled: improved Euler (samplers.py:618-622) ---
     index0 = total - 1
-    e_t = eval_model(x, index0)
+    e_t, state = eval_model(x, index0, state, jnp.asarray(0, jnp.int32))
     x_prev0, _ = _ddim_update(tables, x, e_t, index0, zero_noise)
     index_next = max(total - 2, 0)
-    e_t_next = eval_model(x_prev0, index_next)
+    e_t_next, state = eval_model(
+        x_prev0, index_next, state, jnp.asarray(0, jnp.int32)
+    )
     e_t_prime = (e_t + e_t_next) / 2
     x, _ = _ddim_update(tables, x, e_t_prime, index0, zero_noise)
 
@@ -283,9 +318,9 @@ def plms_loop(
     hist = jnp.stack([zero_noise, zero_noise, e_t])
 
     def step(carry, pos):
-        x, hist = carry
+        x, hist, state = carry
         index = total - pos - 1
-        e_t = eval_model(x, index)
+        e_t, state = eval_model(x, index, state, pos)
         n_old = jnp.minimum(pos, 3)  # number of valid history entries
         # Adams-Bashforth blends by history length (samplers.py:623-633)
         ab2 = (3 * e_t - hist[2]) / 2
@@ -294,10 +329,10 @@ def plms_loop(
         e_t_prime = jnp.where(n_old == 1, ab2, jnp.where(n_old == 2, ab3, ab4))
         x_prev, _ = _ddim_update(tables, x, e_t_prime, index, zero_noise)
         hist = jnp.stack([hist[1], hist[2], e_t])
-        return (x_prev, hist), None
+        return (x_prev, hist, state), None
 
     if total > 1:
-        (x, _), _ = jax.lax.scan(
-            step, (x, hist), jnp.arange(1, total, dtype=jnp.int32)
+        (x, _, _), _ = jax.lax.scan(
+            step, (x, hist, state), jnp.arange(1, total, dtype=jnp.int32)
         )
     return x

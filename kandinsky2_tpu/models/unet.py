@@ -187,6 +187,29 @@ def _build_plan(
     return input_plan, middle_ch, output_plan
 
 
+def deep_cache_spec(unet, split: Optional[int] = None):
+    """(spatial_divisor, channels) of the deep-branch cache produced by
+    ``run_torso_cached`` for ``unet`` at ``split`` (default: all of level 0,
+    i.e. num_res_blocks + 1 input blocks stay hot)."""
+    split = unet.num_res_blocks + 1 if split is None else split
+    input_plan, middle_ch, output_plan = _build_plan(
+        unet.model_channels, unet.num_res_blocks, tuple(unet.channel_mult),
+        tuple(unet.attention_resolutions), unet.resblock_updown,
+    )
+    L = len(input_plan)
+    if not 1 <= split < L:
+        raise ValueError(f"split must be in [1, {L}), got {split}")
+    ds = 1
+    for layers in input_plan[:split]:
+        for kind, _, _ in layers:
+            if kind in ("down", "res_down"):
+                ds *= 2
+    # the cache is the feature entering output block L-split: the out channels
+    # of the last deep output layer (or the middle block when split == L)
+    ch = output_plan[L - split - 1][-1][2] if L - split - 1 >= 0 else middle_ch
+    return ds, ch
+
+
 class UNetModel(nn.Module):
     """UNet torso + timestep embedding (unet.py:343-611)."""
 
@@ -307,6 +330,53 @@ class UNetModel(nn.Module):
         h = self.out_norm(h)
         return self.out_conv(h)
 
+    def run_torso_cached(self, x, emb, cache, refresh, encoder_out=None,
+                         split: Optional[int] = None):
+        """DeepCache-style torso: the deep branch (input blocks >= ``split``,
+        middle, and the matching deep output blocks) is recomputed only when
+        ``refresh`` is true; otherwise the cached deep feature is reused.
+        Adjacent diffusion steps change the deep features slowly, so a
+        refresh interval of 2-4 trades imperceptible drift for skipping the
+        deep ~2/3 of the FLOPs on cached steps (Ma et al. 2023, DeepCache).
+
+        Returns ``(out, new_cache)``.  ``cache`` must have the shape from
+        :func:`deep_cache_spec`; the first scan step must refresh.  Only
+        valid under ``apply`` (params already initialized via the standard
+        path)."""
+        split = self.num_res_blocks + 1 if split is None else split
+        L = len(self.input_layers)
+        h = x.astype(self.dtype)
+        hs = []
+        for layers in self.input_layers[:split]:
+            for layer in layers:
+                h = self._apply(layer, h, emb, encoder_out)
+            hs.append(h)
+
+        def deep_fn(h):
+            deep_hs = []
+            for layers in self.input_layers[split:]:
+                for layer in layers:
+                    h = self._apply(layer, h, emb, encoder_out)
+                deep_hs.append(h)
+            for layer in self.middle_layers:
+                h = self._apply(layer, h, emb, encoder_out)
+            for layers in self.output_layers[: L - split]:
+                h = jnp.concatenate([h, deep_hs.pop()], axis=-1)
+                for layer in layers:
+                    h = self._apply(layer, h, emb, encoder_out)
+            return h.astype(self.dtype)
+
+        h = jax.lax.cond(
+            refresh, deep_fn, lambda _: cache.astype(self.dtype), h
+        )
+        new_cache = h
+        for layers in self.output_layers[L - split:]:
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for layer in layers:
+                h = self._apply(layer, h, emb, encoder_out)
+        h = h.astype(jnp.float32)
+        return self.out_conv(self.out_norm(h)), new_cache
+
     def time_embedding(self, timesteps):
         temb = timestep_embedding(timesteps, self.model_channels)
         return self.time_embed_2(jax.nn.silu(self.time_embed_0(temb)))
@@ -366,6 +436,12 @@ class Text2ImUNet21(UNetModel):
         emb = self.time_embedding(timesteps) + xf_proj.astype(jnp.float32)
         return self.run_torso(x, emb, xf_out)
 
+    def denoise_cached(self, x, timesteps, xf_proj, xf_out, cache, refresh):
+        """Turbo-mode denoise with the deep branch cached across steps; see
+        run_torso_cached.  Returns (out, new_cache)."""
+        emb = self.time_embedding(timesteps) + xf_proj.astype(jnp.float32)
+        return self.run_torso_cached(x, emb, cache, refresh, xf_out)
+
     def __call__(self, x, timesteps, full_emb=None, pooled_emb=None, image_emb=None):
         xf_proj, xf_out = self.encode_conditioning(full_emb, pooled_emb, image_emb)
         return self.denoise(x, timesteps, xf_proj, xf_out)
@@ -385,6 +461,15 @@ class InpaintText2ImUNet21(Text2ImUNet21):
             inpaint_mask = jnp.zeros_like(x[..., :1])
         x = jnp.concatenate([x, inpaint_image * inpaint_mask, inpaint_mask], axis=-1)
         return Text2ImUNet21.denoise(self, x, timesteps, xf_proj, xf_out)
+
+    def denoise_cached(
+        self, x, timesteps, xf_proj, xf_out, inpaint_image, inpaint_mask,
+        cache, refresh,
+    ):
+        x = jnp.concatenate([x, inpaint_image * inpaint_mask, inpaint_mask], axis=-1)
+        return Text2ImUNet21.denoise_cached(
+            self, x, timesteps, xf_proj, xf_out, cache, refresh
+        )
 
     def __call__(
         self, x, timesteps, full_emb=None, pooled_emb=None, image_emb=None,
