@@ -49,10 +49,13 @@ def paired_ancestral_loop(
     clip_range: Optional[float] = 2.0,
     channel_axis: int = -1,
     noise_seq: Optional[jnp.ndarray] = None,
+    model_state=None,
 ) -> jnp.ndarray:
     """Scan the (t, prev_t) ladder.  ``model_fn(x, t)`` returns the
     (guidance-mixed) prediction, with variance channels concatenated when
-    ``variance == 'learned_range'``."""
+    ``variance == 'learned_range'``.  With ``model_state`` the stateful
+    contract applies: ``model_fn(x, t, state, pos) -> (out, state)`` and the
+    state rides the scan carry (deep-branch caching / turbo mode)."""
     ts = np.asarray(timesteps, np.int64)
     prev = np.concatenate([ts[1:], [-1]])
     t_tab = jnp.asarray(ts, jnp.int32)
@@ -61,8 +64,10 @@ def paired_ancestral_loop(
     B = x_T.shape[0]
     nd = x_T.ndim
     bshape = (B,) + (1,) * (nd - 1)
+    stateful = model_state is not None
 
-    def step(x, pos):
+    def step(carry, pos):
+        x, state = carry
         t = t_tab[pos]
         t_prev = prev_tab[pos]
         a_t = acp[t]
@@ -70,7 +75,11 @@ def paired_ancestral_loop(
         beta = 1.0 - a_t / a_prev
         alpha = a_t / a_prev
 
-        out = model_fn(x, jnp.full((B,), t, jnp.float32)).astype(jnp.float32)
+        if stateful:
+            out, state = model_fn(x, jnp.full((B,), t, jnp.float32), state, pos)
+        else:
+            out = model_fn(x, jnp.full((B,), t, jnp.float32))
+        out = out.astype(jnp.float32)
         if variance == "learned_range":
             out, var_values = jnp.split(out, 2, axis=channel_axis)
         if prediction == "epsilon":
@@ -104,9 +113,10 @@ def paired_ancestral_loop(
                 jax.random.fold_in(rng, pos), x.shape, x.dtype
             )
         has_noise = (t_prev >= 0).astype(x.dtype)
-        return mean + has_noise * scale * noise, None
+        return (mean + has_noise * scale * noise, state), None
 
-    x, _ = jax.lax.scan(
-        step, x_T.astype(jnp.float32), jnp.arange(len(ts), dtype=jnp.int32)
+    (x, _), _ = jax.lax.scan(
+        step, (x_T.astype(jnp.float32), model_state),
+        jnp.arange(len(ts), dtype=jnp.int32),
     )
     return x

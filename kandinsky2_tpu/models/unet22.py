@@ -183,6 +183,14 @@ class ImageHintTimeEmbedding(nn.Module):
         return emb, h
 
 
+def deep_cache_spec22(unet) -> tuple[int, int]:
+    """(spatial_divisor, channels) of UNet22.denoise_cached's deep cache:
+    the feature entering the last up block — full resolution,
+    block_out_channels[1] channels (the penultimate up block's upsampler has
+    already restored the spatial dims)."""
+    return 1, int(unet.block_out_channels[1])
+
+
 class UNet22(nn.Module):
     """Kandinsky 2.2 decoder UNet (diffusers UNet2DConditionModel config of
     kandinsky-community/kandinsky-2-2-decoder)."""
@@ -365,6 +373,66 @@ class UNet22(nn.Module):
                 h = upsampler(h, emb)
         h = self.conv_norm_out(h.astype(jnp.float32))
         return self.conv_out(h)
+
+    def denoise_cached(self, x, timesteps, encoder_states, aug_emb,
+                       hint_latent, cache, refresh):
+        """DeepCache-style denoise: level 0 (conv_in + first down block's
+        resnets + the last up block) stays hot; everything deeper — the
+        first downsampler through the penultimate up block — recomputes only
+        on ``refresh`` steps and is otherwise reused from ``cache``
+        (full-res feature map, ``block_out_channels[1]`` channels; see
+        deep_cache_spec22).  Returns (out, new_cache).  Apply-only."""
+        emb = self.time_embedding(timesteps) + aug_emb.astype(self.dtype)
+        if self.controlnet_hint:
+            x = jnp.concatenate([x, hint_latent.astype(x.dtype)], axis=-1)
+        h = self.conv_in(x.astype(self.dtype))
+        hs = [h]
+        resnets0, attns0, downsampler0 = self.down[0]
+        for j, res in enumerate(resnets0):
+            h = res(h, emb)
+            if attns0:
+                h = attns0[j](h, encoder_states)
+            hs.append(h)
+
+        def deep_fn(h):
+            dhs = []
+            if downsampler0 is not None:
+                h = downsampler0(h, emb)
+                dhs.append(h)
+            for resnets, attns, downsampler in self.down[1:]:
+                for j, res in enumerate(resnets):
+                    h = res(h, emb)
+                    if attns:
+                        h = attns[j](h, encoder_states)
+                    dhs.append(h)
+                if downsampler is not None:
+                    h = downsampler(h, emb)
+                    dhs.append(h)
+            h = self.mid_resnets[0](h, emb)
+            h = self.mid_attn(h, encoder_states)
+            h = self.mid_resnets[1](h, emb)
+            for resnets, attns, upsampler in self.up[:-1]:
+                for j, res in enumerate(resnets):
+                    h = jnp.concatenate([h, dhs.pop()], axis=-1)
+                    h = res(h, emb)
+                    if attns:
+                        h = attns[j](h, encoder_states)
+                if upsampler is not None:
+                    h = upsampler(h, emb)
+            return h.astype(self.dtype)
+
+        h = jax.lax.cond(
+            refresh, deep_fn, lambda _: cache.astype(self.dtype), h
+        )
+        new_cache = h
+        resnets_last, attns_last, _ = self.up[-1]
+        for j, res in enumerate(resnets_last):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = res(h, emb)
+            if attns_last:
+                h = attns_last[j](h, encoder_states)
+        h = self.conv_norm_out(h.astype(jnp.float32))
+        return self.conv_out(h), new_cache
 
     def __call__(self, x, timesteps, image_embeds, hint=None):
         encoder_states, aug_emb, hint_latent = self.encode_conditioning(

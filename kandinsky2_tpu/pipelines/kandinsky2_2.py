@@ -234,8 +234,13 @@ class Kandinsky2_2:
     # ------------------------------------------------------------------
 
     def _build_decoder_fn(self, *, steps, lat_h, lat_w, batch_size, task,
-                          ladder=None):
+                          ladder=None, turbo_interval=1):
         ladder = ddpm_ladder(steps) if ladder is None else ladder
+        turbo = turbo_interval > 1
+        if turbo:
+            from ..models.unet22 import deep_cache_spec22
+
+            cache_ds, cache_ch = deep_cache_spec22(self.unet)
 
         def fn(params, image_embeds, rng, x_T, extra_a, extra_b, g):
             """extra_a/extra_b: (masked_image, mask) for inpainting,
@@ -249,25 +254,53 @@ class Kandinsky2_2:
                 method=self.unet.encode_conditioning, **kw,
             )
 
-            def model_fn(x, t):
+            def unet_in(x, t):
                 x2 = jnp.concatenate([x, x], 0)
                 if task == "inpainting":
                     m2 = jnp.concatenate([extra_b, extra_b], 0)
                     i2 = jnp.concatenate([extra_a, extra_a], 0)
                     x2 = jnp.concatenate([x2, i2, m2], axis=-1)
                 t2 = jnp.concatenate([t, t], 0)
-                out = self.unet.apply(
-                    {"params": params["unet"]}, x2, t2, encoder_states,
-                    aug_emb, hint_latent, method=self.unet.denoise,
-                ).astype(jnp.float32)
+                return x2, t2
+
+            def mix(out):
+                out = out.astype(jnp.float32)
                 eps, var = out[..., :4], out[..., 4:]
                 uncond, text = eps[:batch_size], eps[batch_size:]
                 guided = uncond + g * (text - uncond)
                 return jnp.concatenate([guided, var[batch_size:]], axis=-1)
 
+            def model_fn(x, t):
+                x2, t2 = unet_in(x, t)
+                out = self.unet.apply(
+                    {"params": params["unet"]}, x2, t2, encoder_states,
+                    aug_emb, hint_latent, method=self.unet.denoise,
+                )
+                return mix(out)
+
+            def model_fn_turbo(x, t, cache, pos):
+                refresh = (pos % turbo_interval) == 0
+                x2, t2 = unet_in(x, t)
+                out, cache = self.unet.apply(
+                    {"params": params["unet"]}, x2, t2, encoder_states,
+                    aug_emb, hint_latent, cache, refresh,
+                    method=self.unet.denoise_cached,
+                )
+                return mix(out), cache
+
+            model_state = None
+            if turbo:
+                model_state = jnp.zeros(
+                    (2 * batch_size, lat_h // cache_ds, lat_w // cache_ds,
+                     cache_ch),
+                    self.dtype,
+                )
+
             lat = paired_ancestral_loop(
-                model_fn, self._decoder_acp, ladder, x_T, rng,
+                model_fn_turbo if turbo else model_fn,
+                self._decoder_acp, ladder, x_T, rng,
                 prediction="epsilon", variance="learned_range", clip_range=2.0,
+                model_state=model_state,
             )
             img = self.movq.apply(
                 {"params": params["movq"]}, lat.astype(self.dtype),
@@ -279,16 +312,16 @@ class Kandinsky2_2:
 
     def _decode_loop(self, image_embeds, batch_size, steps, guidance, h, w,
                      x_T=None, extra_a=None, extra_b=None, task=None,
-                     ladder=None):
+                     ladder=None, turbo_interval=1):
         task = task or self.task_type
         lat_h, lat_w = h // 8, w // 8
         key = ("dec22", task, steps, lat_h, lat_w, batch_size,
-               None if ladder is None else len(ladder))
+               None if ladder is None else len(ladder), turbo_interval)
         fn = self._jit(
             key,
             lambda: self._build_decoder_fn(
                 steps=steps, lat_h=lat_h, lat_w=lat_w, batch_size=batch_size,
-                task=task, ladder=ladder,
+                task=task, ladder=ladder, turbo_interval=turbo_interval,
             ),
         )
         if x_T is None:
@@ -330,6 +363,7 @@ class Kandinsky2_2:
         self, prompt, batch_size=1, decoder_steps=50, prior_steps=25,
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
+        turbo_interval=1,
     ):
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
@@ -338,7 +372,8 @@ class Kandinsky2_2:
             batch_size, prior_steps, prior_guidance_scale,
         )
         return self._decode_loop(
-            embs, batch_size, decoder_steps, decoder_guidance_scale, h, w
+            embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
+            turbo_interval=turbo_interval,
         )
 
     def generate_img2img(

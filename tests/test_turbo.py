@@ -122,3 +122,60 @@ def test_turbo_pipeline_finite(pipe, sampler):
     # same seed, same schedule: turbo tracks the exact trajectory loosely
     # (random tiny weights drift more than trained ones; just bound it)
     assert np.mean(np.abs(e - t)) < 80.0
+
+
+# ---------------------------------------------------------------------------
+# 2.2 (diffusers-layout UNet) turbo
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipe22():
+    from test_pipeline22 import TINY
+    from test_pipeline21 import StubBPETokenizer as BPE
+
+    from kandinsky2_tpu.pipelines.kandinsky2_2 import Kandinsky2_2
+
+    p = Kandinsky2_2(tokenizer=BPE(), dtype=jnp.float32, overrides=TINY)
+    p.init_random_params()
+    p.params["unet"] = _randomize_zero_kernels(
+        p.params["unet"], jax.random.PRNGKey(43)
+    )
+    return p
+
+
+def test_refresh_equals_plain_denoise_22(pipe22):
+    from kandinsky2_tpu.models.unet22 import deep_cache_spec22
+
+    B = 2
+    emb = jax.random.normal(jax.random.PRNGKey(9), (B, 32))
+    enc, aug, _ = pipe22.unet.apply(
+        {"params": pipe22.params["unet"]}, emb,
+        method=pipe22.unet.encode_conditioning,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(10), (B, 8, 8, 4))
+    t = jnp.full((B,), 500.0)
+    plain = pipe22.unet.apply(
+        {"params": pipe22.params["unet"]}, x, t, enc, aug, None,
+        method=pipe22.unet.denoise,
+    )
+    ds, ch = deep_cache_spec22(pipe22.unet)
+    cache0 = jnp.zeros((B, 8 // ds, 8 // ds, ch))
+    cached, new_cache = pipe22.unet.apply(
+        {"params": pipe22.params["unet"]}, x, t, enc, aug, None, cache0,
+        jnp.asarray(True), method=pipe22.unet.denoise_cached,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(plain), rtol=0, atol=1e-5
+    )
+    assert new_cache.shape == cache0.shape
+
+
+def test_turbo_pipeline22_finite(pipe22):
+    pipe22.set_seed(6)
+    imgs = pipe22.generate_text2img(
+        "a red cat", decoder_steps=6, prior_steps=3, h=64, w=64,
+        turbo_interval=3,
+    )
+    arr = np.asarray(imgs[0], np.float32)
+    assert arr.shape == (64, 64, 3) and np.isfinite(arr).all()
