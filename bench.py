@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--res", type=int, default=768)
     ap.add_argument("--sampler", default="ddim_sampler")
     ap.add_argument("--version", default="2.1", choices=["2.1", "2.2"])
+    ap.add_argument("--turbo", type=int, default=1, metavar="K",
+                    help="DeepCache turbo interval (1 = exact parity path)")
+    ap.add_argument("--weights", default=None, metavar="DIR",
+                    help="build from real checkpoints cached in DIR "
+                    "(layout of weights/hub.fetch_2_1); random weights + "
+                    "stub tokenizers otherwise")
     args = ap.parse_args()
 
     import jax
@@ -133,6 +139,28 @@ def main():
             prior_steps=25 if not args.small else 3,
             decoder_guidance_scale=4, prior_guidance_scale=4,
         )
+    elif args.weights:
+        # real-weights mode: exercises the true host tokenizers and trained
+        # activation ranges in bf16 (gated on a pre-fetched cache dir)
+        import os
+
+        from kandinsky2_tpu.weights.hub import fetch_2_1
+        from kandinsky2_tpu.weights.load_kandinsky import build_kandinsky21
+
+        if not os.path.isdir(args.weights):
+            sys.exit(f"--weights dir {args.weights} does not exist")
+        t0 = time.time()
+        paths = fetch_2_1(os.path.dirname(args.weights.rstrip("/"))
+                          if args.weights.rstrip("/").endswith("2_1")
+                          else args.weights)
+        pipe = build_kandinsky21(paths, dtype=jnp.bfloat16)
+        print(f"# loaded real checkpoints in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        kw = dict(
+            num_steps=args.steps, batch_size=1, h=args.res, w=args.res,
+            sampler=args.sampler, prior_steps="25",
+            guidance_scale=4, turbo_interval=args.turbo,
+        )
     else:
         pipe = Kandinsky2_1(
             config=cfg, tokenizer1=tok1, tokenizer2=tok2, dtype=jnp.bfloat16
@@ -144,7 +172,7 @@ def main():
         kw = dict(
             num_steps=args.steps, batch_size=1, h=args.res, w=args.res,
             sampler=args.sampler, prior_steps="25" if not args.small else "5",
-            guidance_scale=4,
+            guidance_scale=4, turbo_interval=args.turbo,
         )
     t0 = time.time()
     pipe.generate_text2img("a portrait of a cosmonaut riding a horse", **kw)
@@ -165,7 +193,8 @@ def main():
             {
                 "metric": f"sec/image {args.res}^2 {args.steps}-step "
                 f"Kandinsky-{args.version} text2img "
-                "(prior+UNet+MoVQ e2e, bf16, 1 chip)",
+                "(prior+UNet+MoVQ e2e, bf16, 1 chip)"
+                + (f" turbo={args.turbo}" if args.turbo > 1 else ""),
                 "value": round(value, 4),
                 "unit": "s",
                 "vs_baseline": round(target / value, 4),
