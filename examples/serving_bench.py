@@ -18,7 +18,23 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from kandinsky2_tpu.serving import GenerationServer
 
-pipe, kw = make_pipe21(args.small)
+if args.small:
+    pipe, kw = make_pipe21(True)
+else:
+    # full-size random weights (same build as bench.py; no checkpoints or
+    # network needed — serving timing is weight-agnostic)
+    import jax.numpy as jnp
+
+    from bench import stub_tokenizers
+    from kandinsky2_tpu.configs import CONFIG_2_1
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    tok1, tok2 = stub_tokenizers()
+    pipe = Kandinsky2_1(config=CONFIG_2_1, tokenizer1=tok1, tokenizer2=tok2,
+                        dtype=jnp.bfloat16)
+    pipe.init_random_params(cast=jnp.bfloat16)
+    kw = dict(num_steps=50, h=768, w=768, sampler="ddim_sampler",
+              prior_steps="25")
 if args.steps:
     kw["num_steps"] = args.steps
 if args.res:
