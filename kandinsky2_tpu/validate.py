@@ -196,10 +196,14 @@ def validate(version: str = "2.1", task_type: str = "text2img",
             pipe = _stage(report, "build", lambda: build_kandinsky20(
                 paths, task_type=task_type))
         elif version == "2.2":
+            # 2.2 weights live in diffusers snapshots (prior + decoder repos);
+            # point cache_dir at a directory containing prior/ and decoder/
             from .weights.load_kandinsky22 import build_kandinsky22
 
             pipe = _stage(report, "build", lambda: build_kandinsky22(
-                cache_dir, task_type=task_type))
+                os.path.join(cache_dir, "prior"),
+                os.path.join(cache_dir, "decoder"),
+                task_type=task_type))
         else:
             raise ValueError(f"unknown version {version!r}")
 

@@ -129,3 +129,14 @@ def test_inpainting_20():
         "a bird", src, mask, num_steps=3, sampler="p_sampler"
     )
     assert np.asarray(imgs[0]).shape == (512, 512, 3)
+
+
+def test_text2img_20_prompt_list(pipe20):
+    """Distinct prompts batch into one program; batch inferred from the list."""
+    imgs = pipe20.generate_text2img(
+        ["a red cat", "a totally different long blue dog prompt"],
+        num_steps=4, h=64, w=64, sampler="ddim_sampler", ddim_eta=0.05,
+    )
+    assert len(imgs) == 2
+    a, b = (np.asarray(im, np.float32) for im in imgs)
+    assert a.shape == (64, 64, 3) and np.isfinite(a).all()

@@ -144,3 +144,14 @@ def test_lora_merge_roundtrip(pipe):
         )
     )
     assert changed
+
+
+def test_text2img_22_prompt_list(pipe):
+    """Distinct prompts batch into one program; batch inferred from the list."""
+    imgs = pipe.generate_text2img(
+        ["a red cat", "a totally different long blue dog prompt"],
+        decoder_steps=4, prior_steps=3, h=64, w=64,
+    )
+    assert len(imgs) == 2
+    a = np.asarray(imgs[0], np.float32)
+    assert a.shape == (64, 64, 3) and np.isfinite(a).all()
