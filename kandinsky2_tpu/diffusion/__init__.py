@@ -18,9 +18,12 @@ from .gaussian import (
 )
 from .samplers import (
     DDIMTables,
+    DPMTables,
     ddim_loop,
     ddim_respaced_loop,
+    dpmpp_2m_loop,
     make_ddim_tables,
+    make_dpmpp_tables,
     p_sample_loop,
     plms_loop,
 )

@@ -48,6 +48,9 @@ __all__ = [
     "make_ddim_tables",
     "ddim_loop",
     "plms_loop",
+    "DPMTables",
+    "make_dpmpp_tables",
+    "dpmpp_2m_loop",
 ]
 
 
@@ -268,6 +271,136 @@ def ddim_loop(
 
     (x, _), _ = jax.lax.scan(
         step, (x_T.astype(jnp.float32), model_state),
+        jnp.arange(total, dtype=jnp.int32),
+    )
+    return x
+
+
+class DPMTables(NamedTuple):
+    """Per-step constants for DPM-Solver++(2M), stored in *walk order*
+    (pos 0 = largest t), precomputed host-side in float64.
+
+    Beyond-reference sampler: the reference ships only DDIM/PLMS
+    (samplers.py:68-637); DPM-Solver++ is a second-order exponential
+    integrator of the same probability-flow ODE (data-prediction
+    formulation), reaching DDIM-50 quality in ~20-25 steps.  It shares the
+    reference's uniform timestep ladder (samplers.py:33-51) so step counts
+    and img2img ``init_step`` truncation behave identically."""
+
+    timesteps: jnp.ndarray  # int32 [S] ladder values fed to the model
+    alpha: jnp.ndarray  # float32 [S] sqrt(abar_t)
+    sigma: jnp.ndarray  # float32 [S] sqrt(1-abar_t)
+    sigma_ratio: jnp.ndarray  # sigma_{t_next} / sigma_t
+    alpha_next: jnp.ndarray  # sqrt(abar_{t_next})
+    phi: jnp.ndarray  # expm1(-h), h = lambda_next - lambda
+    c2: jnp.ndarray  # h / (2 h_prev); 0 at pos 0 (first-order start)
+
+
+def make_dpmpp_tables(
+    base_alphas_cumprod: np.ndarray,
+    num_steps: Optional[int] = None,
+    *,
+    num_ddpm_steps: int = 1000,
+    init_step: Optional[int] = None,
+    ladder: Optional[np.ndarray] = None,
+) -> DPMTables:
+    """DPM-Solver++(2M) tables over a timestep ladder.
+
+    ``lambda_t = log(alpha_t / sigma_t)`` is the half-log-SNR; the 2M update
+    integrates the data-prediction ODE exactly under a linear-in-lambda model
+    of x0 (Lu et al., DPM-Solver++).  All tables are float64 host-side.
+
+    Two ladder conventions, matching the two scheduler families:
+    * default (``num_steps``): the reference's uniform DDIM ladder
+      (samplers.py:33-51) with the LDM final target ``abar[0]``;
+    * explicit ``ladder`` (descending, e.g. ``paired.ddpm_ladder``): the
+      diffusers convention where the final step targets ``abar = 1`` —
+      ``h`` is infinite there, so the last update degenerates (exactly) to
+      returning the x0 prediction, matching a zero-final-sigma scheduler.
+    """
+    if len(base_alphas_cumprod) != num_ddpm_steps:
+        raise ValueError(
+            "make_dpmpp_tables needs the *base* (un-respaced) alphas_cumprod "
+            f"of length {num_ddpm_steps}, got {len(base_alphas_cumprod)}; "
+            "pass the full-process schedule, not a respaced one"
+        )
+    abar = np.asarray(base_alphas_cumprod, dtype=np.float64)
+    if ladder is None:
+        if num_steps is None:
+            raise ValueError("pass num_steps or an explicit ladder")
+        asc = _sched.ddim_ladder(num_steps, num_ddpm_steps, init_step=init_step)
+        cur = abar[asc][::-1]
+        nxt = np.asarray([abar[0]] + abar[asc[:-1]].tolist())[::-1]
+        ladder_desc = asc[::-1]
+    else:
+        ladder_desc = np.asarray(ladder, np.int64)
+        if len(ladder_desc) > 1 and ladder_desc[0] < ladder_desc[-1]:
+            raise ValueError("explicit ladder must be descending (walk order)")
+        cur = abar[ladder_desc]
+        nxt = np.append(abar[ladder_desc[1:]], 1.0)  # prev_t = -1 -> abar = 1
+    with np.errstate(divide="ignore"):
+        lam = lambda a: 0.5 * (np.log(a) - np.log1p(-a))
+        h = lam(nxt) - lam(cur)  # > 0 while denoising; inf on a final abar=1
+    c2 = np.zeros_like(h)
+    c2[1:] = np.where(np.isinf(h[1:]), 0.0, h[1:] / (2.0 * h[:-1]))
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return DPMTables(
+        timesteps=jnp.asarray(np.ascontiguousarray(ladder_desc), jnp.int32),
+        alpha=f32(np.sqrt(cur)),
+        sigma=f32(np.sqrt(1.0 - cur)),
+        sigma_ratio=f32(np.sqrt((1.0 - nxt) / (1.0 - cur))),
+        alpha_next=f32(np.sqrt(nxt)),
+        phi=f32(np.expm1(-h)),  # expm1(-inf) = -1: final step emits x0
+        c2=f32(c2),
+    )
+
+
+def dpmpp_2m_loop(
+    model_fn: Callable,
+    tables: DPMTables,
+    x_T: jnp.ndarray,
+    *,
+    denoised_fn: Optional[Callable] = None,
+    model_state=None,
+) -> jnp.ndarray:
+    """Deterministic DPM-Solver++(2M) loop, scanned.
+
+    ``model_fn`` returns eps only (guidance already applied), same contract
+    as ``ddim_loop``.  Second-order multistep: each step reuses the previous
+    step's x0 prediction, so it costs exactly one model eval like DDIM.
+    ``denoised_fn`` optionally post-processes each x0 prediction (clipping /
+    inpaint blending).  With ``model_state`` the stateful (turbo) contract
+    applies."""
+    total = int(tables.timesteps.shape[0])
+    B = x_T.shape[0]
+    stateful = model_state is not None
+    nd = x_T.ndim
+    shp = (1,) * nd
+
+    def step(carry, pos):
+        x, x0_prev, state = carry
+        ts = jnp.full((B,), tables.timesteps[pos], dtype=jnp.float32)
+        if stateful:
+            e_t, state = model_fn(x, ts, state, pos)
+        else:
+            e_t = model_fn(x, ts)
+        e_t = e_t.astype(jnp.float32)
+        alpha = tables.alpha[pos].reshape(shp)
+        sigma = tables.sigma[pos].reshape(shp)
+        x0 = (x - sigma * e_t) / alpha
+        if denoised_fn is not None:
+            x0 = denoised_fn(x0)
+        c = tables.c2[pos].reshape(shp)  # 0 at pos 0 -> D = x0
+        D = (1.0 + c) * x0 - c * x0_prev
+        x = (
+            tables.sigma_ratio[pos].reshape(shp) * x
+            - tables.alpha_next[pos].reshape(shp) * tables.phi[pos].reshape(shp) * D
+        )
+        return (x, x0, state), None
+
+    (x, _, _), _ = jax.lax.scan(
+        step,
+        (x_T.astype(jnp.float32), jnp.zeros_like(x_T, jnp.float32), model_state),
         jnp.arange(total, dtype=jnp.int32),
     )
     return x

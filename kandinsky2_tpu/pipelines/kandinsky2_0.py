@@ -23,7 +23,9 @@ import numpy as np
 from ..configs import CONFIG_2_0, create_model, deep_copy_config, schedule_kwargs
 from ..diffusion import (
     ddim_loop,
+    dpmpp_2m_loop,
     make_ddim_tables,
+    make_dpmpp_tables,
     make_schedule,
     p_sample_loop,
     plms_loop,
@@ -211,6 +213,11 @@ class Kandinsky2:
                 eta=ddim_eta if sampler == "ddim_sampler" else 0.0,
                 init_step=init_step,
             )
+        elif sampler == "dpmpp_sampler":
+            tables = make_dpmpp_tables(
+                np.asarray(sched.alphas_cumprod, np.float64), num_steps,
+                init_step=init_step,
+            )
 
         def fn(params, full1, pooled1, full2, g, rng, x_T, inpaint_image,
                inpaint_mask):
@@ -270,9 +277,12 @@ class Kandinsky2:
                 samples = ddim_loop(model_fn, tables, x_T, rng, eta=ddim_eta)
             elif sampler == "plms_sampler":
                 samples = plms_loop(model_fn, tables, x_T)
+            elif sampler == "dpmpp_sampler":
+                samples = dpmpp_2m_loop(model_fn, tables, x_T)
             else:
                 raise ValueError(
-                    "Only p_sampler, ddim_sampler and plms_sampler is available"
+                    "Only p_sampler, ddim_sampler, plms_sampler and "
+                    "dpmpp_sampler are available"
                 )
             img = self.image_encoder.apply(
                 {"params": params["image_encoder"]},

@@ -32,7 +32,9 @@ import numpy as np
 from ..configs import CONFIG_2_1, create_model, deep_copy_config, schedule_kwargs
 from ..diffusion import (
     ddim_loop,
+    dpmpp_2m_loop,
     make_ddim_tables,
+    make_dpmpp_tables,
     make_schedule,
     p_sample_loop,
     plms_loop,
@@ -374,6 +376,11 @@ class Kandinsky2_1:
                 np.asarray(sched.alphas_cumprod, np.float64), num_steps,
                 init_step=init_step,
             )
+        elif sampler == "dpmpp_sampler":
+            tables = make_dpmpp_tables(
+                np.asarray(sched.alphas_cumprod, np.float64), num_steps,
+                init_step=init_step,
+            )
         turbo = turbo_interval > 1
         if turbo:
             from ..models.unet import deep_cache_spec
@@ -452,9 +459,13 @@ class Kandinsky2_1:
             elif sampler == "plms_sampler":
                 samples = plms_loop(active_fn, tables, x_T,
                                     model_state=model_state)
+            elif sampler == "dpmpp_sampler":
+                samples = dpmpp_2m_loop(active_fn, tables, x_T,
+                                        model_state=model_state)
             else:
                 raise ValueError(
-                    "Only p_sampler, ddim_sampler and plms_sampler are available"
+                    "Only p_sampler, ddim_sampler, plms_sampler and "
+                    "dpmpp_sampler are available"
                 )
             img = self.movq.apply(
                 {"params": params["movq"]},
