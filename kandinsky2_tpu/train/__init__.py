@@ -1,4 +1,10 @@
 from .ema import ema_update
+from .train_lora import (
+    LoraTrainState,
+    init_lora_train_state,
+    make_lora_train_step,
+    unet22_eps_fn,
+)
 from .resample import (
     LossAwareState,
     init_loss_aware,
