@@ -138,6 +138,9 @@ def main():
             decoder_steps=args.steps, batch_size=1, h=args.res, w=args.res,
             prior_steps=25 if not args.small else 3,
             decoder_guidance_scale=4, prior_guidance_scale=4,
+            turbo_interval=args.turbo,
+            # 2.2 decoder sampler names: "ddpm" (parity) / "dpmpp"
+            sampler="dpmpp" if "dpmpp" in args.sampler else "ddpm",
         )
     elif args.weights:
         # real-weights mode: exercises the true host tokenizers and trained

@@ -50,6 +50,7 @@ __all__ = [
     "plms_loop",
     "DPMTables",
     "make_dpmpp_tables",
+    "make_dpmpp_karras_tables",
     "dpmpp_2m_loop",
 ]
 
@@ -287,7 +288,8 @@ class DPMTables(NamedTuple):
     reference's uniform timestep ladder (samplers.py:33-51) so step counts
     and img2img ``init_step`` truncation behave identically."""
 
-    timesteps: jnp.ndarray  # int32 [S] ladder values fed to the model
+    timesteps: jnp.ndarray  # [S] ladder values fed to the model (int for the
+    #   discrete ladders; float32 continuous t for the Karras grid)
     alpha: jnp.ndarray  # float32 [S] sqrt(abar_t)
     sigma: jnp.ndarray  # float32 [S] sqrt(1-abar_t)
     sigma_ratio: jnp.ndarray  # sigma_{t_next} / sigma_t
@@ -351,6 +353,59 @@ def make_dpmpp_tables(
         sigma_ratio=f32(np.sqrt((1.0 - nxt) / (1.0 - cur))),
         alpha_next=f32(np.sqrt(nxt)),
         phi=f32(np.expm1(-h)),  # expm1(-inf) = -1: final step emits x0
+        c2=f32(c2),
+    )
+
+
+def make_dpmpp_karras_tables(
+    base_alphas_cumprod: np.ndarray,
+    num_steps: int,
+    *,
+    num_ddpm_steps: int = 1000,
+    rho: float = 7.0,
+    init_step: Optional[int] = None,
+) -> DPMTables:
+    """DPM-Solver++(2M) tables over a Karras sigma grid (continuous time).
+
+    Karras et al. (EDM) spacing concentrates steps where the ODE curvature
+    lives: sigma_i = (smax^(1/rho) + i/(S-1)·(smin^(1/rho) - smax^(1/rho)))^rho.
+    Each sigma maps back to a *continuous* model timestep by log-sigma
+    interpolation over the discrete schedule (the timestep embedding is
+    sinusoidal, so fractional t is well-defined).  The final step targets
+    abar = 1 and therefore emits the x0 prediction (zero final sigma).
+    ``init_step`` caps sigma_max for img2img ladder truncation."""
+    if len(base_alphas_cumprod) != num_ddpm_steps:
+        raise ValueError(
+            "make_dpmpp_karras_tables needs the *base* (un-respaced) "
+            f"alphas_cumprod of length {num_ddpm_steps}"
+        )
+    abar = np.asarray(base_alphas_cumprod, dtype=np.float64)
+    sig_grid = np.sqrt((1.0 - abar) / abar)  # ascending in t
+    t_hi = num_ddpm_steps - 1 if init_step is None else min(
+        max(init_step - 1, 1), num_ddpm_steps - 1
+    )
+    smin, smax = sig_grid[0], sig_grid[t_hi]
+    ramp = np.linspace(0.0, 1.0, num_steps)
+    sigmas = (
+        smax ** (1.0 / rho) + ramp * (smin ** (1.0 / rho) - smax ** (1.0 / rho))
+    ) ** rho  # descending walk order
+    # sigma -> continuous t by log-sigma interpolation
+    t_cont = np.interp(np.log(sigmas), np.log(sig_grid), np.arange(num_ddpm_steps))
+    cur = 1.0 / (1.0 + sigmas**2)  # abar at each walk position
+    nxt = np.append(cur[1:], 1.0)  # final step targets abar = 1 (emit x0)
+    with np.errstate(divide="ignore"):
+        lam = lambda a: 0.5 * (np.log(a) - np.log1p(-a))
+        h = lam(nxt) - lam(cur)
+    c2 = np.zeros_like(h)
+    c2[1:] = np.where(np.isinf(h[1:]), 0.0, h[1:] / (2.0 * h[:-1]))
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return DPMTables(
+        timesteps=f32(t_cont),
+        alpha=f32(np.sqrt(cur)),
+        sigma=f32(np.sqrt(1.0 - cur)),
+        sigma_ratio=f32(np.sqrt((1.0 - nxt) / (1.0 - cur))),
+        alpha_next=f32(np.sqrt(nxt)),
+        phi=f32(np.expm1(-h)),
         c2=f32(c2),
     )
 

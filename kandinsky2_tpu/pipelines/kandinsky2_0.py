@@ -25,6 +25,7 @@ from ..diffusion import (
     ddim_loop,
     dpmpp_2m_loop,
     make_ddim_tables,
+    make_dpmpp_karras_tables,
     make_dpmpp_tables,
     make_schedule,
     p_sample_loop,
@@ -218,6 +219,11 @@ class Kandinsky2:
                 np.asarray(sched.alphas_cumprod, np.float64), num_steps,
                 init_step=init_step,
             )
+        elif sampler == "dpmpp_karras_sampler":
+            tables = make_dpmpp_karras_tables(
+                np.asarray(sched.alphas_cumprod, np.float64), num_steps,
+                init_step=init_step,
+            )
 
         def fn(params, full1, pooled1, full2, g, rng, x_T, inpaint_image,
                inpaint_mask):
@@ -277,12 +283,12 @@ class Kandinsky2:
                 samples = ddim_loop(model_fn, tables, x_T, rng, eta=ddim_eta)
             elif sampler == "plms_sampler":
                 samples = plms_loop(model_fn, tables, x_T)
-            elif sampler == "dpmpp_sampler":
+            elif sampler in ("dpmpp_sampler", "dpmpp_karras_sampler"):
                 samples = dpmpp_2m_loop(model_fn, tables, x_T)
             else:
                 raise ValueError(
-                    "Only p_sampler, ddim_sampler, plms_sampler and "
-                    "dpmpp_sampler are available"
+                    "Only p_sampler, ddim_sampler, plms_sampler, "
+                    "dpmpp_sampler and dpmpp_karras_sampler are available"
                 )
             img = self.image_encoder.apply(
                 {"params": params["image_encoder"]},

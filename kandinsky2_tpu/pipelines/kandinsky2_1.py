@@ -34,6 +34,7 @@ from ..diffusion import (
     ddim_loop,
     dpmpp_2m_loop,
     make_ddim_tables,
+    make_dpmpp_karras_tables,
     make_dpmpp_tables,
     make_schedule,
     p_sample_loop,
@@ -381,6 +382,11 @@ class Kandinsky2_1:
                 np.asarray(sched.alphas_cumprod, np.float64), num_steps,
                 init_step=init_step,
             )
+        elif sampler == "dpmpp_karras_sampler":
+            tables = make_dpmpp_karras_tables(
+                np.asarray(sched.alphas_cumprod, np.float64), num_steps,
+                init_step=init_step,
+            )
         turbo = turbo_interval > 1
         if turbo:
             from ..models.unet import deep_cache_spec
@@ -459,13 +465,13 @@ class Kandinsky2_1:
             elif sampler == "plms_sampler":
                 samples = plms_loop(active_fn, tables, x_T,
                                     model_state=model_state)
-            elif sampler == "dpmpp_sampler":
+            elif sampler in ("dpmpp_sampler", "dpmpp_karras_sampler"):
                 samples = dpmpp_2m_loop(active_fn, tables, x_T,
                                         model_state=model_state)
             else:
                 raise ValueError(
-                    "Only p_sampler, ddim_sampler, plms_sampler and "
-                    "dpmpp_sampler are available"
+                    "Only p_sampler, ddim_sampler, plms_sampler, "
+                    "dpmpp_sampler and dpmpp_karras_sampler are available"
                 )
             img = self.movq.apply(
                 {"params": params["movq"]},
@@ -648,6 +654,40 @@ class Kandinsky2_1:
             num_steps=num_steps, turbo_interval=turbo_interval,
         )
 
+    def generate_text2img_hires(
+        self, prompt, num_steps=50, batch_size=1, guidance_scale=7,
+        h=768, w=768, sampler="ddim_sampler", low_scale=0.5, low_steps=None,
+        strength=0.3, prior_cf_scale=4, prior_steps="25",
+        negative_prior_prompt="", turbo_interval=1,
+    ):
+        """Two-stage hires generation (training-free, beyond reference;
+        cf. Bottleneck Sampling, arxiv 2503.18940): run the full ladder at
+        ``low_scale`` resolution (~low_scale² of the per-step cost), LANCZOS-
+        upsample, then img2img-refine at full resolution with a
+        ``strength``-truncated ladder.  Defaults cost ≈ 0.25·S + 0.3·S
+        step-equivalents vs S — about 1.8× cheaper than single-stage — and
+        the low-res stage fixes global composition, which often *improves*
+        768²+ outputs (the reference model was trained at 768).
+        """
+        from PIL import Image as _Image
+
+        low = self.generate_text2img(
+            prompt, num_steps=low_steps or num_steps, batch_size=batch_size,
+            guidance_scale=guidance_scale,
+            h=max(64, int(h * low_scale)), w=max(64, int(w * low_scale)),
+            sampler=sampler, prior_cf_scale=prior_cf_scale,
+            prior_steps=prior_steps,
+            negative_prior_prompt=negative_prior_prompt,
+            turbo_interval=turbo_interval,
+        )
+        ups = [im.resize((w, h), _Image.LANCZOS) for im in low]
+        return self.generate_img2img(
+            prompt, ups, strength=strength, num_steps=num_steps,
+            batch_size=batch_size, guidance_scale=guidance_scale, h=h, w=w,
+            sampler=sampler, prior_cf_scale=prior_cf_scale,
+            prior_steps=prior_steps,
+        )
+
     def mix_images(
         self, images_texts, weights, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
@@ -691,7 +731,11 @@ class Kandinsky2_1:
         prior_cf_scale=4, prior_steps="25",
     ):
         """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
-        strength-derived step, truncated ladder."""
+        strength-derived step, truncated ladder.
+
+        ``pil_img`` may be a list of per-prompt images (len == batch) —
+        each batch row then starts from its own init image (used by the
+        staged hires path)."""
         batch_size = resolve_batch(prompt, batch_size)
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
@@ -701,7 +745,16 @@ class Kandinsky2_1:
         image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
             self.dtype
         )
-        image = jnp.asarray(prepare_image(pil_img, w=w, h=h))
+        if isinstance(pil_img, (list, tuple)):
+            if len(pil_img) != batch_size:
+                raise ValueError(
+                    f"got {len(pil_img)} init images for batch {batch_size}"
+                )
+            image = jnp.concatenate(
+                [jnp.asarray(prepare_image(im, w=w, h=h)) for im in pil_img]
+            )
+        else:
+            image = jnp.asarray(prepare_image(pil_img, w=w, h=h))
         latent = self._movq_encode(image) * self.scale
         if sampler == "p_sampler":
             skw = schedule_kwargs(self._decoder_diff_cfg, str(num_steps))
@@ -716,7 +769,8 @@ class Kandinsky2_1:
             self._img2img_sched, latent.astype(jnp.float32),
             jnp.full((latent.shape[0],), t_noise, jnp.int32), noise,
         )
-        latent = jnp.tile(latent, (batch_size, 1, 1, 1))
+        if latent.shape[0] != batch_size:
+            latent = jnp.tile(latent, (batch_size, 1, 1, 1))
         return self.generate_img(
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,

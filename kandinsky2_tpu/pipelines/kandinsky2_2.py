@@ -236,14 +236,26 @@ class Kandinsky2_2:
     def _build_decoder_fn(self, *, steps, lat_h, lat_w, batch_size, task,
                           ladder=None, turbo_interval=1, sampler="ddpm"):
         ladder = ddpm_ladder(steps) if ladder is None else ladder
-        if sampler == "dpmpp":
-            from ..diffusion import dpmpp_2m_loop, make_dpmpp_tables
-
-            dpm_tables = make_dpmpp_tables(
-                np.asarray(self._decoder_acp, np.float64), ladder=ladder,
+        if sampler in ("dpmpp", "dpmpp_karras"):
+            from ..diffusion import (
+                dpmpp_2m_loop,
+                make_dpmpp_karras_tables,
+                make_dpmpp_tables,
             )
+
+            if sampler == "dpmpp_karras":
+                dpm_tables = make_dpmpp_karras_tables(
+                    np.asarray(self._decoder_acp, np.float64), len(ladder),
+                )
+            else:
+                dpm_tables = make_dpmpp_tables(
+                    np.asarray(self._decoder_acp, np.float64), ladder=ladder,
+                )
         elif sampler != "ddpm":
-            raise ValueError("2.2 decoder samplers: 'ddpm' (parity) or 'dpmpp'")
+            raise ValueError(
+                "2.2 decoder samplers: 'ddpm' (parity), 'dpmpp' or "
+                "'dpmpp_karras'"
+            )
         turbo = turbo_interval > 1
         if turbo:
             from ..models.unet22 import deep_cache_spec22
@@ -276,7 +288,7 @@ class Kandinsky2_2:
                 eps, var = out[..., :4], out[..., 4:]
                 uncond, text = eps[:batch_size], eps[batch_size:]
                 guided = uncond + g * (text - uncond)
-                if sampler == "dpmpp":  # ODE solver: eps only, no variance
+                if sampler != "ddpm":  # ODE solver: eps only, no variance
                     return guided
                 return jnp.concatenate([guided, var[batch_size:]], axis=-1)
 
@@ -307,7 +319,7 @@ class Kandinsky2_2:
                 )
 
             active_fn = model_fn_turbo if turbo else model_fn
-            if sampler == "dpmpp":
+            if sampler != "ddpm":
                 lat = dpmpp_2m_loop(
                     active_fn, dpm_tables, x_T,
                     denoised_fn=lambda x0: jnp.clip(x0, -2.0, 2.0),

@@ -103,10 +103,12 @@ def run_generation(pipe, *, h: int = 256, w: int = 256, num_steps: int = 20,
 
 def run_generation_22(pipe, *, h: int = 256, w: int = 256,
                       decoder_steps: int = 20, prior_steps: int = 10,
+                      sampler: str = "ddpm",
                       prompt: str = VALIDATION_PROMPT, seed: int = SEED):
     pipe.set_seed(seed)
     return pipe.generate_text2img(prompt, decoder_steps=decoder_steps,
-                                  prior_steps=prior_steps, h=h, w=w)
+                                  prior_steps=prior_steps, h=h, w=w,
+                                  sampler=sampler)
 
 
 def run_metrics(report: dict, images, reference_dir: Optional[str],
@@ -164,7 +166,8 @@ def run_metrics(report: dict, images, reference_dir: Optional[str],
 def validate(version: str = "2.1", task_type: str = "text2img",
              cache_dir: str = "/tmp/kandinsky2", out_dir: str = "/tmp/k2_validate",
              reference_dir: Optional[str] = None, h: int = 256, w: int = 256,
-             num_steps: int = 20, use_auth_token=None,
+             num_steps: int = 20, sampler: Optional[str] = None,
+             use_auth_token=None,
              pipe_builder: Optional[Callable] = None) -> dict:
     """Run the full validation ladder; returns the report dict.
 
@@ -209,10 +212,12 @@ def validate(version: str = "2.1", task_type: str = "text2img",
 
         if version == "2.2":
             images = _stage(report, "generate", lambda: run_generation_22(
-                pipe, h=h, w=w, decoder_steps=num_steps))
+                pipe, h=h, w=w, decoder_steps=num_steps,
+                sampler=sampler or "ddpm"))
         else:
             images = _stage(report, "generate", lambda: run_generation(
-                pipe, h=h, w=w, num_steps=num_steps))
+                pipe, h=h, w=w, num_steps=num_steps,
+                sampler=sampler or "ddim_sampler"))
         _stage(report, "metrics", lambda: run_metrics(
             report, images, reference_dir, out_dir,
             pipe=pipe if version != "2.2" else None))
@@ -237,13 +242,16 @@ def main(argv=None) -> int:
     ap.add_argument("--h", type=int, default=256)
     ap.add_argument("--w", type=int, default=256)
     ap.add_argument("--num-steps", type=int, default=20)
+    ap.add_argument("--sampler", default=None,
+                    help="override the sampler (e.g. dpmpp_sampler / dpmpp) "
+                    "for sampler-quality comparisons against a reference set")
     args = ap.parse_args(argv)
 
     report = validate(
         version=args.version, task_type=args.task_type,
         cache_dir=args.cache_dir, out_dir=args.out_dir,
         reference_dir=args.reference_dir, h=args.h, w=args.w,
-        num_steps=args.num_steps,
+        num_steps=args.num_steps, sampler=args.sampler,
     )
     text = json.dumps(report, indent=2, default=str)
     print(text)

@@ -21,6 +21,7 @@ from kandinsky2_tpu.diffusion import (
     ddim_loop,
     dpmpp_2m_loop,
     make_ddim_tables,
+    make_dpmpp_karras_tables,
     make_dpmpp_tables,
     make_schedule,
 )
@@ -129,6 +130,60 @@ def test_dpmpp_explicit_ladder_final_step_emits_x0(base_acp):
 def test_dpmpp_ladder_order_guard(base_acp):
     with pytest.raises(ValueError, match="descending"):
         make_dpmpp_tables(base_acp, ladder=np.array([0, 100, 200]))
+
+
+def test_dpmpp_karras_grid_properties(base_acp):
+    dp = make_dpmpp_karras_tables(base_acp, 12)
+    ts = np.asarray(dp.timesteps)
+    assert ts.dtype == np.float32
+    assert (np.diff(ts) < 0).all(), "continuous t must descend"
+    assert 0.0 <= ts[-1] and ts[0] <= 999.0
+    sig = np.asarray(dp.sigma) / np.asarray(dp.alpha)
+    assert (np.diff(sig) < 0).all(), "Karras sigmas must descend"
+    # zero-final-sigma convention: last step emits x0
+    assert float(dp.phi[-1]) == -1.0 and float(dp.alpha_next[-1]) == 1.0
+    # Karras spacing is denser at low sigma than the uniform ladder's tail
+    assert all(np.isfinite(np.asarray(f)).all() for f in dp)
+
+    # init_step truncation caps the starting sigma
+    dp_trunc = make_dpmpp_karras_tables(base_acp, 12, init_step=500)
+    assert float(dp_trunc.timesteps[0]) <= 500.0
+
+
+def test_dpmpp_karras_exact_on_point_mass(base_acp):
+    """With an interpolated-abar point-mass model (x0-pred constant), the
+    solver is exact regardless of grid, so the Karras walk must land on the
+    target — validating the sigma->t mapping and table consistency."""
+    acp = jnp.asarray(base_acp, jnp.float32)
+    grid = jnp.arange(len(base_acp), dtype=jnp.float32)
+    target = jnp.asarray(np.random.default_rng(9).normal(size=(1, 6, 6, 3)),
+                         jnp.float32)
+
+    def model_fn(x, t):
+        a = jnp.interp(t, grid, acp).reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(a) * target) / jnp.sqrt(1.0 - a)
+
+    dp = make_dpmpp_karras_tables(base_acp, 8)
+    out = dpmpp_2m_loop(
+        model_fn, dp, jax.random.normal(jax.random.PRNGKey(10), (1, 6, 6, 3))
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_pipeline21_dpmpp_karras_smoke():
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    imgs = p.generate_text2img(
+        "a red cat", num_steps=6, h=64, w=64, sampler="dpmpp_karras_sampler",
+    )
+    a = np.asarray(imgs[0], np.float32)
+    assert a.shape == (64, 64, 3) and np.isfinite(a).all()
 
 
 def test_pipeline21_dpmpp_smoke():

@@ -82,6 +82,39 @@ def pipe():
     return p
 
 
+def test_text2img_hires_staged(pipe):
+    """Two-stage hires: low-res full ladder -> upsample -> truncated refine;
+    distinct prompts keep their own stage-1 image through the handoff."""
+    imgs = pipe.generate_text2img_hires(
+        ["a red cat", "a very different blue dog painting"],
+        num_steps=6, h=128, w=128, low_scale=0.5, strength=0.5,
+        sampler="ddim_sampler",
+    )
+    assert len(imgs) == 2
+    for im in imgs:
+        a = np.asarray(im, np.float32)
+        assert a.shape == (128, 128, 3) and np.isfinite(a).all()
+
+
+def test_img2img_per_batch_init_images(pipe):
+    src_a = Image.fromarray(
+        (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    src_b = Image.fromarray(
+        (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    imgs = pipe.generate_img2img(
+        ["a cat", "a dog"], [src_a, src_b], strength=0.6, num_steps=4,
+        h=64, w=64, sampler="ddim_sampler",
+    )
+    assert len(imgs) == 2
+    with pytest.raises(ValueError, match="init images"):
+        pipe.generate_img2img(
+            ["a cat", "a dog"], [src_a], strength=0.6, num_steps=4,
+            h=64, w=64,
+        )
+
+
 @pytest.fixture(scope="module")
 def inpaint_pipe():
     p = Kandinsky2_1(
