@@ -22,6 +22,7 @@ run text2img_21.py   --small --out "$OUT/t2i_21.png"
 run img2img_21.py    --small --out "$OUT/i2i_21.png"
 run inpainting_21.py --small --out "$OUT/inp_21.png"
 run mix_images_21.py --small --out "$OUT/mix_21.png"
+run hires_21.py      --small --out "$OUT/hires_21.png"
 run text2img_22.py   --small --out "$OUT/t2i_22.png"
 run controlnet_22.py --small --out "$OUT/ctl_22.png"
 run lora_22.py       --small --out "$OUT/lora_22.png"

@@ -340,6 +340,13 @@ def make_dpmpp_tables(
             raise ValueError("explicit ladder must be descending (walk order)")
         cur = abar[ladder_desc]
         nxt = np.append(abar[ladder_desc[1:]], 1.0)  # prev_t = -1 -> abar = 1
+    return _dpm_tables_from_abar(
+        cur, nxt, np.ascontiguousarray(ladder_desc).astype(np.float64)
+    )
+
+
+def _dpm_tables_from_abar(cur, nxt, t_values) -> DPMTables:
+    """Shared 2M table math: walk-order abar pairs + model-facing t values."""
     with np.errstate(divide="ignore"):
         lam = lambda a: 0.5 * (np.log(a) - np.log1p(-a))
         h = lam(nxt) - lam(cur)  # > 0 while denoising; inf on a final abar=1
@@ -347,7 +354,7 @@ def make_dpmpp_tables(
     c2[1:] = np.where(np.isinf(h[1:]), 0.0, h[1:] / (2.0 * h[:-1]))
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     return DPMTables(
-        timesteps=jnp.asarray(np.ascontiguousarray(ladder_desc), jnp.int32),
+        timesteps=f32(t_values),
         alpha=f32(np.sqrt(cur)),
         sigma=f32(np.sqrt(1.0 - cur)),
         sigma_ratio=f32(np.sqrt((1.0 - nxt) / (1.0 - cur))),
@@ -355,6 +362,21 @@ def make_dpmpp_tables(
         phi=f32(np.expm1(-h)),  # expm1(-inf) = -1: final step emits x0
         c2=f32(c2),
     )
+
+
+def make_dpmpp_tables_from_respaced(sched) -> DPMTables:
+    """2M tables straight from a respaced ``Schedule`` (the prior's "25"):
+    the kept steps' alphas_cumprod ARE the base values at the ladder
+    (respace.py:89-96), and alphas_cumprod_prev supplies the walk targets
+    (final target abar=1 -> the last step emits the x0 prediction).
+    Model-facing t values go through ``timestep_map`` + rescaling, matching
+    what the ancestral loop feeds the network."""
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    prev = np.asarray(sched.alphas_cumprod_prev, np.float64)
+    tm = np.asarray(sched.timestep_map, np.float64)
+    if sched.rescale_timesteps:
+        tm = tm * (1000.0 / sched.original_num_steps)
+    return _dpm_tables_from_abar(acp[::-1], prev[::-1], tm[::-1])
 
 
 def make_dpmpp_karras_tables(
@@ -393,21 +415,7 @@ def make_dpmpp_karras_tables(
     t_cont = np.interp(np.log(sigmas), np.log(sig_grid), np.arange(num_ddpm_steps))
     cur = 1.0 / (1.0 + sigmas**2)  # abar at each walk position
     nxt = np.append(cur[1:], 1.0)  # final step targets abar = 1 (emit x0)
-    with np.errstate(divide="ignore"):
-        lam = lambda a: 0.5 * (np.log(a) - np.log1p(-a))
-        h = lam(nxt) - lam(cur)
-    c2 = np.zeros_like(h)
-    c2[1:] = np.where(np.isinf(h[1:]), 0.0, h[1:] / (2.0 * h[:-1]))
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
-    return DPMTables(
-        timesteps=f32(t_cont),
-        alpha=f32(np.sqrt(cur)),
-        sigma=f32(np.sqrt(1.0 - cur)),
-        sigma_ratio=f32(np.sqrt((1.0 - nxt) / (1.0 - cur))),
-        alpha_next=f32(np.sqrt(nxt)),
-        phi=f32(np.expm1(-h)),
-        c2=f32(c2),
-    )
+    return _dpm_tables_from_abar(cur, nxt, t_cont)
 
 
 def dpmpp_2m_loop(
@@ -415,13 +423,15 @@ def dpmpp_2m_loop(
     tables: DPMTables,
     x_T: jnp.ndarray,
     *,
+    prediction: str = "epsilon",  # "epsilon" | "xstart"
     denoised_fn: Optional[Callable] = None,
     model_state=None,
 ) -> jnp.ndarray:
     """Deterministic DPM-Solver++(2M) loop, scanned.
 
-    ``model_fn`` returns eps only (guidance already applied), same contract
-    as ``ddim_loop``.  Second-order multistep: each step reuses the previous
+    ``model_fn`` returns the (guidance-mixed) eps — or the x0 prediction
+    directly with ``prediction="xstart"`` (the prior's convention,
+    prior.py:268).  Second-order multistep: each step reuses the previous
     step's x0 prediction, so it costs exactly one model eval like DDIM.
     ``denoised_fn`` optionally post-processes each x0 prediction (clipping /
     inpaint blending).  With ``model_state`` the stateful (turbo) contract
@@ -436,13 +446,16 @@ def dpmpp_2m_loop(
         x, x0_prev, state = carry
         ts = jnp.full((B,), tables.timesteps[pos], dtype=jnp.float32)
         if stateful:
-            e_t, state = model_fn(x, ts, state, pos)
+            out, state = model_fn(x, ts, state, pos)
         else:
-            e_t = model_fn(x, ts)
-        e_t = e_t.astype(jnp.float32)
+            out = model_fn(x, ts)
+        out = out.astype(jnp.float32)
         alpha = tables.alpha[pos].reshape(shp)
         sigma = tables.sigma[pos].reshape(shp)
-        x0 = (x - sigma * e_t) / alpha
+        if prediction == "xstart":
+            x0 = out
+        else:
+            x0 = (x - sigma * out) / alpha
         if denoised_fn is not None:
             x0 = denoised_fn(x0)
         c = tables.c2[pos].reshape(shp)  # 0 at pos 0 -> D = x0

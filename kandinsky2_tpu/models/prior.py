@@ -164,6 +164,7 @@ def prior_sample_fn(
     rng: jax.Array,
     *,
     use_ddim: bool = False,
+    use_dpmpp: bool = False,
     noise_seq=None,
     x_T: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -195,6 +196,22 @@ def prior_sample_fn(
     if x_T is None:
         x_T = jax.random.normal(rng, (bsz, clip_dim), jnp.float32)
     denoised = lambda v: jnp.clip(v, -10.0, 10.0)
+    if use_dpmpp:
+        # beyond-reference: 2M solver on the x0-predicting prior — same
+        # quality class at ~10 steps instead of 25
+        from ..diffusion.samplers import (
+            dpmpp_2m_loop,
+            make_dpmpp_tables_from_respaced,
+        )
+
+        sample = dpmpp_2m_loop(
+            model_fn,
+            make_dpmpp_tables_from_respaced(sched),
+            x_T,
+            prediction="xstart",
+            denoised_fn=denoised,
+        )
+        return sample * clip_std + clip_mean
     loop = ddim_respaced_loop if use_ddim else p_sample_loop
     sample = loop(
         model_fn,

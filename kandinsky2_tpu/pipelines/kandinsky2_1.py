@@ -308,8 +308,12 @@ class Kandinsky2_1:
         )
         tok = jnp.asarray(np.concatenate([tok, cf_tok]))
         mask = jnp.asarray(np.concatenate([mask, cf_mask]))
-        use_ddim = str(prior_steps).startswith("ddim")
-        skw = schedule_kwargs(self._prior_diff_cfg, str(prior_steps))
+        ps = str(prior_steps)
+        use_ddim = ps.startswith("ddim")
+        use_dpmpp = ps.startswith("dpmpp")  # "dpmpp10": 2M prior sampling
+        skw = schedule_kwargs(
+            self._prior_diff_cfg, ps[5:] if use_dpmpp else ps
+        )
         sched = make_schedule(**skw["make_schedule"])
 
         def build():
@@ -320,7 +324,7 @@ class Kandinsky2_1:
                 return prior_sample_fn(
                     self.prior.apply, {"params": params["prior"]}, sched,
                     feat, seq, mask, scale, self.clip_mean, self.clip_std,
-                    rng, use_ddim=use_ddim,
+                    rng, use_ddim=use_ddim, use_dpmpp=use_dpmpp,
                 )
             return jax.jit(fn)
 
@@ -530,8 +534,10 @@ class Kandinsky2_1:
         conditioning → decoder scan → MoVQ decode.  This realizes the
         "prior→UNet→MoVQ compiles to a single XLA program per resolution"
         design (vs the reference's five separate model invocations)."""
-        use_ddim = str(prior_steps).startswith("ddim")
-        pkw = schedule_kwargs(self._prior_diff_cfg, str(prior_steps))
+        ps = str(prior_steps)
+        use_ddim = ps.startswith("ddim")
+        use_dpmpp = ps.startswith("dpmpp")
+        pkw = schedule_kwargs(self._prior_diff_cfg, ps[5:] if use_dpmpp else ps)
         prior_sched = make_schedule(**pkw["make_schedule"])
         decode_fn = self._build_latent_fn(
             sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
@@ -547,7 +553,7 @@ class Kandinsky2_1:
             image_emb = prior_sample_fn(
                 self.prior.apply, {"params": params["prior"]}, prior_sched,
                 feat, seq, prior_mask, prior_scale, self.clip_mean,
-                self.clip_std, rng, use_ddim=use_ddim,
+                self.clip_std, rng, use_ddim=use_ddim, use_dpmpp=use_dpmpp,
             )
             zero_img = jnp.zeros(
                 (1, self.clip_image_size, self.clip_image_size, 3)
@@ -657,27 +663,36 @@ class Kandinsky2_1:
     def generate_text2img_hires(
         self, prompt, num_steps=50, batch_size=1, guidance_scale=7,
         h=768, w=768, sampler="ddim_sampler", low_scale=0.5, low_steps=None,
-        strength=0.3, prior_cf_scale=4, prior_steps="25",
+        strength=0.65, prior_cf_scale=4, prior_steps="25",
         negative_prior_prompt="", turbo_interval=1,
     ):
         """Two-stage hires generation (training-free, beyond reference;
         cf. Bottleneck Sampling, arxiv 2503.18940): run the full ladder at
         ``low_scale`` resolution (~low_scale² of the per-step cost), LANCZOS-
-        upsample, then img2img-refine at full resolution with a
-        ``strength``-truncated ladder.  Defaults cost ≈ 0.25·S + 0.3·S
-        step-equivalents vs S — about 1.8× cheaper than single-stage — and
-        the low-res stage fixes global composition, which often *improves*
-        768²+ outputs (the reference model was trained at 768).
+        upsample, then img2img-refine at full resolution on the truncated
+        ladder.  ``strength`` follows the reference img2img convention
+        (kandinsky2_1_model.py:463-469): re-noise to t = 1000·(1-strength),
+        so the default 0.65 refines with ~⅓ of the steps at light noise,
+        keeping stage-1 composition.  The prior runs ONCE — its image
+        embedding is reused for both stages.  Defaults cost ≈ 0.25·S low +
+        0.35·S refine step-equivalents vs S single-stage.
         """
         from PIL import Image as _Image
 
-        low = self.generate_text2img(
-            prompt, num_steps=low_steps or num_steps, batch_size=batch_size,
-            guidance_scale=guidance_scale,
-            h=max(64, int(h * low_scale)), w=max(64, int(w * low_scale)),
-            sampler=sampler, prior_cf_scale=prior_cf_scale,
+        batch_size = resolve_batch(prompt, batch_size)
+        image_emb = self.generate_clip_emb(
+            prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps,
             negative_prior_prompt=negative_prior_prompt,
+        )
+        image_emb = jnp.concatenate(
+            [image_emb, self.create_zero_img_emb(batch_size)], axis=0
+        ).astype(self.dtype)
+        low = self.generate_img(
+            prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
+            guidance_scale=guidance_scale,
+            h=max(64, int(h * low_scale)), w=max(64, int(w * low_scale)),
+            sampler=sampler, num_steps=low_steps or num_steps,
             turbo_interval=turbo_interval,
         )
         ups = [im.resize((w, h), _Image.LANCZOS) for im in low]
@@ -685,7 +700,7 @@ class Kandinsky2_1:
             prompt, ups, strength=strength, num_steps=num_steps,
             batch_size=batch_size, guidance_scale=guidance_scale, h=h, w=w,
             sampler=sampler, prior_cf_scale=prior_cf_scale,
-            prior_steps=prior_steps,
+            prior_steps=prior_steps, image_emb=image_emb,
         )
 
     def mix_images(
@@ -728,23 +743,25 @@ class Kandinsky2_1:
     def generate_img2img(
         self, prompt, pil_img, strength=0.7, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
-        prior_cf_scale=4, prior_steps="25",
+        prior_cf_scale=4, prior_steps="25", image_emb=None,
     ):
         """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
         strength-derived step, truncated ladder.
 
         ``pil_img`` may be a list of per-prompt images (len == batch) —
-        each batch row then starts from its own init image (used by the
-        staged hires path)."""
+        each batch row then starts from its own init image.  A precomputed
+        CFG-doubled ``image_emb`` skips the prior run (the staged hires
+        path reuses stage 1's)."""
         batch_size = resolve_batch(prompt, batch_size)
-        image_emb = self.generate_clip_emb(
-            prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
-            prior_steps=prior_steps,
-        )
-        zero_image_emb = self.create_zero_img_emb(batch_size)
-        image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
-            self.dtype
-        )
+        if image_emb is None:
+            image_emb = self.generate_clip_emb(
+                prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
+                prior_steps=prior_steps,
+            )
+            zero_image_emb = self.create_zero_img_emb(batch_size)
+            image_emb = jnp.concatenate(
+                [image_emb, zero_image_emb], axis=0
+            ).astype(self.dtype)
         if isinstance(pil_img, (list, tuple)):
             if len(pil_img) != batch_size:
                 raise ValueError(

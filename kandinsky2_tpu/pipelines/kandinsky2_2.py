@@ -189,16 +189,26 @@ class Kandinsky2_2:
 
     def run_prior(
         self, prompt, batch_size=1, prior_steps=25, guidance_scale=4,
-        negative_prompt="",
+        negative_prompt="", sampler="ddpm",
     ):
         """Guided prior sampling -> de-normalized image embeds [B, 1280]
-        (diffusers KandinskyV22PriorPipeline semantics)."""
+        (diffusers KandinskyV22PriorPipeline semantics).  ``sampler="dpmpp"``
+        (beyond reference) runs the 2M solver on the x0-predicting prior —
+        same quality class at ~10 steps."""
         hidden, proj, mask = self._encode_text(
             as_prompt_list(negative_prompt, batch_size)
             + as_prompt_list(prompt, batch_size)
         )
         ladder = unclip_ladder(prior_steps)
         D = self.prior.embedding_dim
+        if sampler == "dpmpp":
+            from ..diffusion import dpmpp_2m_loop, make_dpmpp_tables
+
+            dpm_tables = make_dpmpp_tables(
+                np.asarray(self._prior_acp, np.float64), ladder=ladder,
+            )
+        elif sampler != "ddpm":
+            raise ValueError("2.2 prior samplers: 'ddpm' (parity) or 'dpmpp'")
 
         def build():
             def fn(params, hidden, proj, mask, g, rng):
@@ -212,18 +222,24 @@ class Kandinsky2_2:
                     return uncond + g * (text - uncond)
 
                 x_T = jax.random.normal(rng, (batch_size, D), jnp.float32)
-                lat = paired_ancestral_loop(
-                    model_fn, self._prior_acp, ladder, x_T,
-                    jax.random.fold_in(rng, 1), prediction="sample",
-                    variance="fixed_small_log", clip_range=10.0,
-                )
+                if sampler == "dpmpp":
+                    lat = dpmpp_2m_loop(
+                        model_fn, dpm_tables, x_T, prediction="xstart",
+                        denoised_fn=lambda v: jnp.clip(v, -10.0, 10.0),
+                    )
+                else:
+                    lat = paired_ancestral_loop(
+                        model_fn, self._prior_acp, ladder, x_T,
+                        jax.random.fold_in(rng, 1), prediction="sample",
+                        variance="fixed_small_log", clip_range=10.0,
+                    )
                 mean = params["prior"]["clip_mean"]
                 std = params["prior"]["clip_std"]
                 return lat * std + mean
 
             return jax.jit(fn)
 
-        fn = self._jit(("prior22", prior_steps, batch_size), build)
+        fn = self._jit(("prior22", prior_steps, batch_size, sampler), build)
         return fn(
             self.params, hidden, proj, mask,
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(),

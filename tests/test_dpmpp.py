@@ -170,6 +170,44 @@ def test_dpmpp_karras_exact_on_point_mass(base_acp):
     np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
 
 
+def test_prior_dpmpp_21():
+    """prior_steps="dpmppN" runs the 2M solver on the x0-predicting prior,
+    in both the standalone prior call and the fused text2img program."""
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    emb = p.generate_clip_emb("a red cat", prior_steps="dpmpp5")
+    assert emb.shape[0] == 1 and np.isfinite(np.asarray(emb)).all()
+    # deterministic solver: same seed => same embedding
+    p.set_seed(3)
+    e1 = np.asarray(p.generate_clip_emb("a red cat", prior_steps="dpmpp5"))
+    p.set_seed(3)
+    e2 = np.asarray(p.generate_clip_emb("a red cat", prior_steps="dpmpp5"))
+    np.testing.assert_array_equal(e1, e2)
+
+    imgs = p.generate_text2img(
+        "a red cat", num_steps=4, h=64, w=64, sampler="dpmpp_sampler",
+        prior_steps="dpmpp5",
+    )
+    assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
+
+
+def test_prior_dpmpp_22():
+    from test_pipeline22 import make_pipe
+
+    p = make_pipe("text2img")
+    emb = p.run_prior("a red cat", prior_steps=5, sampler="dpmpp")
+    assert emb.shape == (1, p.prior.embedding_dim)
+    assert np.isfinite(np.asarray(emb)).all()
+    with pytest.raises(ValueError, match="prior samplers"):
+        p.run_prior("a red cat", prior_steps=5, sampler="bogus")
+
+
 def test_pipeline21_dpmpp_karras_smoke():
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
     from kandinsky2_tpu.pipelines import Kandinsky2_1
