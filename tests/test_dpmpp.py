@@ -170,6 +170,23 @@ def test_dpmpp_karras_exact_on_point_mass(base_acp):
     np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
 
 
+def test_pipeline21_dpmpp_turbo_smoke():
+    """Deep-branch caching (model_state) rides the dpmpp scan carry."""
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    imgs = p.generate_text2img(
+        "a red cat", num_steps=4, h=64, w=64, sampler="dpmpp_sampler",
+        turbo_interval=2,
+    )
+    assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
+
+
 def test_prior_dpmpp_21():
     """prior_steps="dpmppN" runs the 2M solver on the x0-predicting prior,
     in both the standalone prior call and the fused text2img program."""
