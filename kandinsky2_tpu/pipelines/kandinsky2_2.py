@@ -430,6 +430,7 @@ class Kandinsky2_2:
         self, prompt, image, strength=0.4, batch_size=1, decoder_steps=100,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
+        sampler="ddpm",
     ):
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
@@ -449,13 +450,14 @@ class Kandinsky2_2:
         x_T = a * lat + jnp.sqrt(1.0 - a**2) * noise
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
-            x_T=x_T, ladder=ladder, task="img2img",
+            x_T=x_T, ladder=ladder, task="img2img", sampler=sampler,
         )
 
     def mix_images(
         self, images_texts, weights, batch_size=1, decoder_steps=50,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
+        sampler="ddpm",
     ):
         """prior.interpolate (kandinsky2_2_model.py:114-142): weighted sum of
         per-condition image embeddings."""
@@ -481,13 +483,15 @@ class Kandinsky2_2:
             )
         embs = jnp.concatenate([neg, emb], axis=0)
         return self._decode_loop(
-            embs, batch_size, decoder_steps, decoder_guidance_scale, h, w
+            embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
+            sampler=sampler,
         )
 
     def generate_inpainting(
         self, prompt, pil_img, img_mask, batch_size=1, decoder_steps=50,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
+        sampler="ddpm",
     ):
         """``img_mask``: 1 = repaint (diffusers >= 0.19 convention for
         Kandinsky inpainting)."""
@@ -509,13 +513,14 @@ class Kandinsky2_2:
         keep = jnp.tile(keep, (batch_size, 1, 1, 1))
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
-            extra_a=masked, extra_b=keep, task="inpainting",
+            extra_a=masked, extra_b=keep, task="inpainting", sampler=sampler,
         )
 
     def generate_controlnet(
         self, prompt, hint, batch_size=1, decoder_steps=50, prior_steps=25,
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
+        sampler="ddpm",
     ):
         """ControlNet-depth: ``hint`` is an [H, W, 3] array in [0, 1]
         (e.g. MiDaS depth, host-side preprocessing as in
@@ -532,7 +537,7 @@ class Kandinsky2_2:
         hint = jnp.tile(hint, (batch_size, 1, 1, 1))
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
-            extra_a=hint, task="controlnet",
+            extra_a=hint, task="controlnet", sampler=sampler,
         )
 
     # ------------------------------------------------------------------

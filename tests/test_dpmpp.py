@@ -214,6 +214,22 @@ def test_prior_dpmpp_21():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+def test_pipeline22_img2img_dpmpp():
+    """dpmpp over the strength-truncated 2.2 img2img ladder."""
+    from PIL import Image
+    from test_pipeline22 import make_pipe
+
+    p = make_pipe("text2img")
+    src = Image.fromarray(
+        (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    )
+    imgs = p.generate_img2img(
+        "a red cat", src, strength=0.5, decoder_steps=6, prior_steps=3,
+        h=64, w=64, sampler="dpmpp",
+    )
+    assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
+
+
 def test_prior_dpmpp_22():
     from test_pipeline22 import make_pipe
 
