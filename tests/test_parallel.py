@@ -67,6 +67,34 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_serving_over_sharded_pipeline():
+    """The serving runtime composes with TP sharding: distinct prompts
+    coalesce into one program whose params are sharded over the mesh."""
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+    from kandinsky2_tpu.serving import GenerationServer
+
+    pipe = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    pipe.init_random_params()
+    pipe.shard(model_parallel=4, min_size=64)
+    server = GenerationServer(pipe, max_batch=2)
+    kw = dict(h=64, w=64, num_steps=4, sampler="dpmpp_sampler",
+              prior_steps="3")
+    server.start()
+    try:
+        futs = [server.submit(p, **kw) for p in ("a red cat", "a blue dog")]
+        for f in futs:
+            arr = np.asarray(f.result(timeout=600)[0])
+            assert arr.shape == (64, 64, 3)
+            assert np.isfinite(arr.astype(np.float32)).all()
+    finally:
+        server.stop()
+
+
 def test_sharded_inference_pipeline():
     """Full 2.1 text2img with TP-sharded params over the 8-device mesh."""
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
