@@ -1,3 +1,4 @@
+from .distill import DistillState, init_distill_state, make_distill_step
 from .ema import ema_update
 from .train_lora import (
     LoraTrainState,
