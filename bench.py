@@ -197,6 +197,7 @@ def main():
                 "metric": f"sec/image {args.res}^2 {args.steps}-step "
                 f"Kandinsky-{args.version} text2img "
                 "(prior+UNet+MoVQ e2e, bf16, 1 chip)"
+                + (" [tiny-config smoke]" if args.small else "")
                 + (f" turbo={args.turbo}" if args.turbo > 1 else ""),
                 "value": round(value, 4),
                 "unit": "s",
