@@ -134,13 +134,20 @@ def main():
         pipe.init_random_params(cast=jnp.bfloat16)
         print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}",
               file=sys.stderr)
+        # 2.2 decoder sampler names; reject names with no 2.2 equivalent
+        sampler22 = {
+            "ddim_sampler": "ddpm", "ddpm": "ddpm",
+            "dpmpp_sampler": "dpmpp", "dpmpp": "dpmpp",
+            "dpmpp_karras_sampler": "dpmpp_karras",
+            "dpmpp_karras": "dpmpp_karras",
+        }.get(args.sampler)
+        if sampler22 is None:
+            sys.exit(f"--sampler {args.sampler} has no 2.2 decoder equivalent")
         kw = dict(
             decoder_steps=args.steps, batch_size=1, h=args.res, w=args.res,
             prior_steps=25 if not args.small else 3,
             decoder_guidance_scale=4, prior_guidance_scale=4,
-            turbo_interval=args.turbo,
-            # 2.2 decoder sampler names: "ddpm" (parity) / "dpmpp"
-            sampler="dpmpp" if "dpmpp" in args.sampler else "ddpm",
+            turbo_interval=args.turbo, sampler=sampler22,
         )
     elif args.weights:
         # real-weights mode: exercises the true host tokenizers and trained
@@ -198,6 +205,8 @@ def main():
                 f"Kandinsky-{args.version} text2img "
                 "(prior+UNet+MoVQ e2e, bf16, 1 chip)"
                 + (" [tiny-config smoke]" if args.small else "")
+                + (f" sampler={args.sampler}"
+                   if args.sampler != "ddim_sampler" else "")
                 + (f" turbo={args.turbo}" if args.turbo > 1 else ""),
                 "value": round(value, 4),
                 "unit": "s",

@@ -331,8 +331,10 @@ def make_dpmpp_tables(
         if num_steps is None:
             raise ValueError("pass num_steps or an explicit ladder")
         asc = _sched.ddim_ladder(num_steps, num_ddpm_steps, init_step=init_step)
-        cur = abar[asc][::-1]
-        nxt = np.asarray([abar[0]] + abar[asc[:-1]].tolist())[::-1]
+        # same alphas/alphas_prev pairing the DDIM sampler uses
+        _, alphas, alphas_prev = _sched.ddim_sampling_parameters(abar, asc, 0.0)
+        cur = alphas[::-1]
+        nxt = alphas_prev[::-1]
         ladder_desc = asc[::-1]
     else:
         ladder_desc = np.asarray(ladder, np.int64)

@@ -701,6 +701,7 @@ class Kandinsky2_1:
             batch_size=batch_size, guidance_scale=guidance_scale, h=h, w=w,
             sampler=sampler, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, image_emb=image_emb,
+            turbo_interval=turbo_interval,
         )
 
     def mix_images(
@@ -743,7 +744,7 @@ class Kandinsky2_1:
     def generate_img2img(
         self, prompt, pil_img, strength=0.7, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
-        prior_cf_scale=4, prior_steps="25", image_emb=None,
+        prior_cf_scale=4, prior_steps="25", image_emb=None, turbo_interval=1,
     ):
         """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
         strength-derived step, truncated ladder.
@@ -792,6 +793,7 @@ class Kandinsky2_1:
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
             num_steps=num_steps, noise=latent, init_step=start_step,
+            turbo_interval=turbo_interval,
         )
 
     def generate_inpainting(

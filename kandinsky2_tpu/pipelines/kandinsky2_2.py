@@ -260,8 +260,11 @@ class Kandinsky2_2:
             )
 
             if sampler == "dpmpp_karras":
+                # cap sigma_max at the ladder's start so a truncated img2img
+                # ladder (x_T only partially noised) keeps its init content
                 dpm_tables = make_dpmpp_karras_tables(
                     np.asarray(self._decoder_acp, np.float64), len(ladder),
+                    init_step=int(ladder[0]) + 1,
                 )
             else:
                 dpm_tables = make_dpmpp_tables(

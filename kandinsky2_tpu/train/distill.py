@@ -51,12 +51,20 @@ def make_distill_step(
     """Build the jitted progressive-distillation step.
 
     ``eps_fn(params, x_t, t, cond) -> eps`` runs the decoder UNet (same
-    contract as ``train_lora``).  The student's ladder has
-    ``num_student_steps`` uniform steps over the base process; each student
+    contract as ``train_lora``).  The student's ladder is the uniform
+    ``ddpm_ladder(num_student_steps)`` grid {0, 2d, 4d, ...}; each student
     step [t -> t-2d] must match two teacher DDIM steps [t -> t-d -> t-2d]
-    where d = num_train_steps // (2 * num_student_steps).
+    where d = num_train_steps // (2 * num_student_steps) — so the trained
+    timesteps are exactly the ladder the distilled student samples on.
     """
     acp = jnp.asarray(alphas_cumprod, jnp.float32)
+    if num_train_steps % (2 * num_student_steps) != 0:
+        raise ValueError(
+            f"num_student_steps={num_student_steps} must divide "
+            f"{num_train_steps}//2 exactly — otherwise the high-noise tail "
+            "of the process is never trained (pick e.g. "
+            f"{num_train_steps // 2}, {num_train_steps // 4}, ...)"
+        )
     d = num_train_steps // (2 * num_student_steps)
     if d < 1:
         raise ValueError(
@@ -78,11 +86,12 @@ def make_distill_step(
         """``rng`` is consumed as-is (fold in the step count on the host)."""
         B = x0.shape[0]
         rng_t, rng_n = jax.random.split(rng)
-        # student timesteps: t uniform over {2d, 4d, ..., 2d*num_student_steps}
-        i = jax.random.randint(rng_t, (B,), 1, num_student_steps + 1)
-        t = i * 2 * d - 1
+        # student timesteps: the inference ladder {2d, 4d, ..., 2d(S-1)}
+        # (ddpm_ladder grid); teacher chains t -> t-d -> t-2d exactly
+        i = jax.random.randint(rng_t, (B,), 1, num_student_steps)
+        t = i * 2 * d
         t_mid = t - d
-        t_next = t - 2 * d + 1
+        t_next = t - 2 * d
         noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
         a_t = a(t)
         x_t = jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * noise

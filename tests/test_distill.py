@@ -59,9 +59,23 @@ def test_distill_loss_decreases(setup):
 
 def test_distill_ladder_guard(setup):
     pipe, _, _ = setup
-    with pytest.raises(ValueError, match="too large"):
-        make_distill_step(
-            unet22_eps_fn(pipe.unet), pipe.params["unet"],
-            np.asarray(pipe._decoder_acp), optax.adam(1e-4),
-            num_student_steps=1000,
-        )
+    # non-divisible student count would silently skip the high-noise tail
+    for bad in (300, 1000):
+        with pytest.raises(ValueError, match="divide"):
+            make_distill_step(
+                unet22_eps_fn(pipe.unet), pipe.params["unet"],
+                np.asarray(pipe._decoder_acp), optax.adam(1e-4),
+                num_student_steps=bad,
+            )
+
+
+def test_distill_timesteps_match_inference_ladder(setup):
+    """The trained student timesteps are exactly the ddpm_ladder grid the
+    distilled model samples on (no train/inference timestep bias)."""
+    from kandinsky2_tpu.diffusion.paired import ddpm_ladder
+
+    S, T = 250, 1000
+    d = T // (2 * S)
+    trained = {i * 2 * d for i in range(1, S)}
+    ladder = set(int(t) for t in ddpm_ladder(S, T))
+    assert trained <= ladder

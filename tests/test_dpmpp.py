@@ -230,6 +230,43 @@ def test_pipeline22_img2img_dpmpp():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+def test_pipeline22_img2img_karras_respects_truncation():
+    """Regression: dpmpp_karras on a strength-truncated img2img ladder must
+    cap sigma_max at the ladder start (x_T is only partially noised) —
+    verified via the table start matching the ladder's noise level."""
+    from kandinsky2_tpu.diffusion.paired import ddpm_ladder
+
+    base = make_schedule(steps=1000, linear_start=0.00085, linear_end=0.012)
+    acp = np.asarray(base.alphas_cumprod, np.float64)
+    full = ddpm_ladder(100)
+    t_start = len(full) - 40
+    ladder = full[t_start:]  # strength 0.4: re-noised only to t = ladder[0]
+    from kandinsky2_tpu.diffusion import make_dpmpp_karras_tables
+
+    dp = make_dpmpp_karras_tables(acp, len(ladder),
+                                  init_step=int(ladder[0]) + 1)
+    sig_start = float(dp.sigma[0] / dp.alpha[0])
+    sig_ladder = float(np.sqrt((1 - acp[ladder[0]]) / acp[ladder[0]]))
+    assert abs(sig_start - sig_ladder) / sig_ladder < 1e-3
+    # without the cap, the tables would start at full-process sigma_max
+    sig_full = float(np.sqrt((1 - acp[-1]) / acp[-1]))
+    assert sig_start < 0.5 * sig_full
+
+    # and the pipeline path runs
+    from PIL import Image
+    from test_pipeline22 import make_pipe
+
+    p = make_pipe("text2img")
+    src = Image.fromarray(
+        (np.random.default_rng(1).random((64, 64, 3)) * 255).astype(np.uint8)
+    )
+    imgs = p.generate_img2img(
+        "a red cat", src, strength=0.5, decoder_steps=6, prior_steps=3,
+        h=64, w=64, sampler="dpmpp_karras",
+    )
+    assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
+
+
 def test_prior_dpmpp_22():
     from test_pipeline22 import make_pipe
 
