@@ -433,20 +433,36 @@ class Kandinsky2_2:
         self, prompt, image, strength=0.4, batch_size=1, decoder_steps=100,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm",
+        sampler="ddpm", image_embeds=None, turbo_interval=1,
     ):
+        """``image`` may be a list of per-prompt init images (len == batch);
+        a precomputed CFG-doubled ``image_embeds`` skips the prior run (the
+        staged hires path reuses stage 1's)."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
-        embs = self._embs_for(
-            prompt, negative_prior_prompt, negative_decoder_prompt,
-            batch_size, prior_steps, prior_guidance_scale,
-        )
+        if image_embeds is None:
+            embs = self._embs_for(
+                prompt, negative_prior_prompt, negative_decoder_prompt,
+                batch_size, prior_steps, prior_guidance_scale,
+            )
+        else:
+            embs = image_embeds
         full = ddpm_ladder(decoder_steps)
         t_start = max(len(full) - int(decoder_steps * strength), 0)
         ladder = full[t_start:]
-        init = jnp.asarray(prepare_image(image, w=w, h=h))
+        if isinstance(image, (list, tuple)):
+            if len(image) != batch_size:
+                raise ValueError(
+                    f"got {len(image)} init images for batch {batch_size}"
+                )
+            init = jnp.concatenate(
+                [jnp.asarray(prepare_image(im, w=w, h=h)) for im in image]
+            )
+        else:
+            init = jnp.asarray(prepare_image(image, w=w, h=h))
         lat = self._movq_encode(init) * self.movq_scale
-        lat = jnp.tile(lat, (batch_size, 1, 1, 1))
+        if lat.shape[0] != batch_size:
+            lat = jnp.tile(lat, (batch_size, 1, 1, 1))
         t0 = int(ladder[0])
         noise = jax.random.normal(self._next_rng(), lat.shape, jnp.float32)
         a = self._decoder_sqrt_acp[t0]
@@ -454,6 +470,43 @@ class Kandinsky2_2:
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             x_T=x_T, ladder=ladder, task="img2img", sampler=sampler,
+            turbo_interval=turbo_interval,
+        )
+
+    def generate_text2img_hires(
+        self, prompt, batch_size=1, decoder_steps=25, prior_steps=25,
+        decoder_guidance_scale=4, prior_guidance_scale=4, h=768, w=768,
+        low_scale=0.5, low_steps=None, strength=0.35,
+        negative_prior_prompt="", negative_decoder_prompt="",
+        sampler="ddpm", turbo_interval=1,
+    ):
+        """Two-stage hires generation (beyond reference, mirrors the 2.1
+        method): full ladder at ``low_scale`` resolution, LANCZOS upsample,
+        then img2img refine on the last ``strength`` fraction of the ladder
+        (2.2/diffusers strength convention).  The prior runs once."""
+        from PIL import Image as _Image
+
+        batch_size = resolve_batch(prompt, batch_size)
+        h, w = get_new_h_w_64(h, w)
+        embs = self._embs_for(
+            prompt, negative_prior_prompt, negative_decoder_prompt,
+            batch_size, prior_steps, prior_guidance_scale,
+        )
+        lh, lw = get_new_h_w_64(
+            max(64, int(h * low_scale)), max(64, int(w * low_scale))
+        )
+        low = self._decode_loop(
+            embs, batch_size, low_steps or decoder_steps,
+            decoder_guidance_scale, lh, lw, sampler=sampler,
+            turbo_interval=turbo_interval,
+        )
+        ups = [im.resize((w, h), _Image.LANCZOS) for im in low]
+        return self.generate_img2img(
+            prompt, ups, strength=strength, batch_size=batch_size,
+            decoder_steps=decoder_steps,
+            decoder_guidance_scale=decoder_guidance_scale, h=h, w=w,
+            sampler=sampler, image_embeds=embs,
+            turbo_interval=turbo_interval,
         )
 
     def mix_images(

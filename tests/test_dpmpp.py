@@ -331,8 +331,9 @@ def test_pipeline20_dpmpp_smoke():
         tokenizer2=StubHFTok(), dtype=jnp.float32,
     )
     p.init_random_params()
-    imgs = p.generate_text2img(
-        "a red cat", num_steps=5, h=64, w=64, sampler="dpmpp_sampler",
-    )
-    a = np.asarray(imgs[0], np.float32)
-    assert a.shape == (64, 64, 3) and np.isfinite(a).all()
+    for s in ("dpmpp_sampler", "dpmpp_karras_sampler"):
+        imgs = p.generate_text2img(
+            "a red cat", num_steps=5, h=64, w=64, sampler=s,
+        )
+        a = np.asarray(imgs[0], np.float32)
+        assert a.shape == (64, 64, 3) and np.isfinite(a).all(), s

@@ -146,6 +146,20 @@ def test_lora_merge_roundtrip(pipe):
     assert changed
 
 
+def test_text2img_22_hires_staged(pipe):
+    """Two-stage hires on 2.2: distinct prompts keep their own stage-1
+    image through the handoff; the prior runs once (embs reused)."""
+    imgs = pipe.generate_text2img_hires(
+        ["a red cat", "a very different blue dog"],
+        decoder_steps=6, prior_steps=3, h=128, w=128, low_scale=0.5,
+        strength=0.5, sampler="dpmpp",
+    )
+    assert len(imgs) == 2
+    for im in imgs:
+        a = np.asarray(im, np.float32)
+        assert a.shape == (128, 128, 3) and np.isfinite(a).all()
+
+
 def test_text2img_22_prompt_list(pipe):
     """Distinct prompts batch into one program; batch inferred from the list."""
     imgs = pipe.generate_text2img(
