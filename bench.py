@@ -57,7 +57,14 @@ def main():
                     help="build from real checkpoints cached in DIR "
                     "(layout of weights/hub.fetch_2_1); random weights + "
                     "stub tokenizers otherwise")
+    ap.add_argument("--stack", action="store_true",
+                    help="preset: all opt-in levers stacked (2.1 only) — "
+                    "karras 15 decoder steps + dpmpp-10 prior + turbo 3")
     args = ap.parse_args()
+    if args.stack:
+        if args.version != "2.1":
+            sys.exit("--stack is a 2.1 preset")
+        args.sampler, args.steps, args.turbo = "dpmpp_karras_sampler", 15, 3
 
     import jax
 
@@ -181,7 +188,9 @@ def main():
 
         kw = dict(
             num_steps=args.steps, batch_size=1, h=args.res, w=args.res,
-            sampler=args.sampler, prior_steps="25" if not args.small else "5",
+            sampler=args.sampler,
+            prior_steps=("dpmpp10" if args.stack else "25")
+            if not args.small else "5",
             guidance_scale=4, turbo_interval=args.turbo,
         )
     t0 = time.time()
@@ -207,6 +216,7 @@ def main():
                 + (" [tiny-config smoke]" if args.small else "")
                 + (f" sampler={args.sampler}"
                    if args.sampler != "ddim_sampler" else "")
+                + (" prior=dpmpp10" if args.stack else "")
                 + (f" turbo={args.turbo}" if args.turbo > 1 else ""),
                 "value": round(value, 4),
                 "unit": "s",
