@@ -59,11 +59,19 @@ def main():
                     "stub tokenizers otherwise")
     ap.add_argument("--stack", action="store_true",
                     help="preset: all opt-in levers stacked (2.1 only) — "
-                    "karras 15 decoder steps + dpmpp-10 prior + turbo 3")
+                    "karras 15 decoder steps + dpmpp-10 prior + turbo 3; "
+                    "conflicts with --sampler/--steps/--turbo/--weights/--small")
     args = ap.parse_args()
     if args.stack:
         if args.version != "2.1":
             sys.exit("--stack is a 2.1 preset")
+        if args.weights or args.small:
+            sys.exit("--stack measures the random-weights full-size config; "
+                     "it cannot combine with --weights or --small")
+        if (args.sampler != "ddim_sampler" or args.steps != 50
+                or args.turbo != 1):
+            sys.exit("--stack sets sampler/steps/turbo itself; drop the "
+                     "conflicting flags")
         args.sampler, args.steps, args.turbo = "dpmpp_karras_sampler", 15, 3
 
     import jax

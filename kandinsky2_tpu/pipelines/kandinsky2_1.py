@@ -48,6 +48,7 @@ from ..utils import (
     as_prompt_list,
     get_new_h_w,
     prepare_image,
+    prepare_image_batch,
     prepare_mask,
     process_images,
     resolve_batch,
@@ -763,16 +764,12 @@ class Kandinsky2_1:
             image_emb = jnp.concatenate(
                 [image_emb, zero_image_emb], axis=0
             ).astype(self.dtype)
-        if isinstance(pil_img, (list, tuple)):
-            if len(pil_img) != batch_size:
-                raise ValueError(
-                    f"got {len(pil_img)} init images for batch {batch_size}"
-                )
-            image = jnp.concatenate(
-                [jnp.asarray(prepare_image(im, w=w, h=h)) for im in pil_img]
+        if not 0.0 < strength < 1.0:
+            raise ValueError(
+                f"strength={strength} out of range: (0, 1) exclusive — "
+                "1.0 would fully re-noise (use text2img), 0 runs no steps"
             )
-        else:
-            image = jnp.asarray(prepare_image(pil_img, w=w, h=h))
+        image = jnp.asarray(prepare_image_batch(pil_img, w, h, batch_size))
         latent = self._movq_encode(image) * self.scale
         if sampler == "p_sampler":
             skw = schedule_kwargs(self._decoder_diff_cfg, str(num_steps))

@@ -31,7 +31,13 @@ from ..models.movq import MOVQ
 from ..models.prior22 import HFCLIPText, PriorTransformer22
 from ..models.text_encoders import HFCLIPVision
 from ..models.unet22 import UNet22
-from ..utils import as_prompt_list, prepare_image, process_images, resolve_batch
+from ..utils import (
+    as_prompt_list,
+    prepare_image,
+    prepare_image_batch,
+    process_images,
+    resolve_batch,
+)
 from .kandinsky2_1 import clip_preprocess
 
 
@@ -450,16 +456,13 @@ class Kandinsky2_2:
         full = ddpm_ladder(decoder_steps)
         t_start = max(len(full) - int(decoder_steps * strength), 0)
         ladder = full[t_start:]
-        if isinstance(image, (list, tuple)):
-            if len(image) != batch_size:
-                raise ValueError(
-                    f"got {len(image)} init images for batch {batch_size}"
-                )
-            init = jnp.concatenate(
-                [jnp.asarray(prepare_image(im, w=w, h=h)) for im in image]
+        if len(ladder) == 0:
+            raise ValueError(
+                f"strength={strength} with decoder_steps={decoder_steps} "
+                "leaves no refine steps; use strength >= "
+                f"{1.0 / decoder_steps:.3f} (or skip img2img entirely)"
             )
-        else:
-            init = jnp.asarray(prepare_image(image, w=w, h=h))
+        init = jnp.asarray(prepare_image_batch(image, w, h, batch_size))
         lat = self._movq_encode(init) * self.movq_scale
         if lat.shape[0] != batch_size:
             lat = jnp.tile(lat, (batch_size, 1, 1, 1))

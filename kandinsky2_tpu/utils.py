@@ -23,6 +23,21 @@ def prepare_image(pil_image, w: int = 512, h: int = 512) -> np.ndarray:
     return arr[None]
 
 
+def prepare_image_batch(images, w: int, h: int, batch_size: int) -> np.ndarray:
+    """One init image or a per-batch list -> [1 or B, H, W, 3] array.
+
+    A list must match ``batch_size`` (each batch row gets its own init image
+    — the staged hires handoff); a single image is returned with batch 1 for
+    the caller to tile after noising."""
+    if isinstance(images, (list, tuple)):
+        if len(images) != batch_size:
+            raise ValueError(
+                f"got {len(images)} init images for batch {batch_size}"
+            )
+        return np.concatenate([prepare_image(im, w=w, h=h) for im in images])
+    return prepare_image(images, w=w, h=h)
+
+
 def prepare_mask(mask: np.ndarray) -> np.ndarray:
     """Erode the keep-region by one latent pixel (utils.py:11-30), vectorized.
 

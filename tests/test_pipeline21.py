@@ -113,6 +113,9 @@ def test_img2img_per_batch_init_images(pipe):
             ["a cat", "a dog"], [src_a], strength=0.6, num_steps=4,
             h=64, w=64,
         )
+    with pytest.raises(ValueError, match="out of range"):
+        pipe.generate_img2img("a cat", src_a, strength=1.0, num_steps=4,
+                              h=64, w=64)
 
 
 @pytest.fixture(scope="module")

@@ -146,6 +146,15 @@ def test_lora_merge_roundtrip(pipe):
     assert changed
 
 
+def test_img2img_22_strength_guard(pipe):
+    src = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="no refine steps"):
+        pipe.generate_img2img(
+            "a cat", src, strength=0.01, decoder_steps=6, prior_steps=3,
+            h=64, w=64,
+        )
+
+
 def test_text2img_22_hires_staged(pipe):
     """Two-stage hires on 2.2: distinct prompts keep their own stage-1
     image through the handoff; the prior runs once (embs reused)."""
