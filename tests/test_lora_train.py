@@ -83,6 +83,40 @@ def test_lora_training_decreases_loss(setup):
     assert moved, "LoRA up factors should be nonzero after training"
 
 
+def test_lora_state_resumes_bitwise(setup, tmp_path):
+    """The generic full-state checkpointing covers LoraTrainState too: a
+    save/restore mid-run reproduces the uninterrupted run exactly."""
+    from kandinsky2_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    pipe, step_fn, new_state = setup
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.normal(size=(2, 8, 8, 4)) * 0.5, jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(2, 32)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    def run(state, lo, hi):
+        for i in range(lo, hi):
+            state, _ = step_fn(state, x0, cond, jax.random.fold_in(key, i))
+        return state
+
+    # uninterrupted: 6 steps
+    ref = run(new_state(), 0, 6)
+    # interrupted: 3 steps, save, restore into a fresh template, 3 more
+    mid = run(new_state(), 0, 3)
+    fname = save_train_state(str(tmp_path), mid, step=3)
+    resumed = restore_train_state(fname, new_state())
+    resumed = run(resumed, 3, 6)
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.loras)[0],
+        jax.tree_util.tree_flatten_with_path(resumed.loras)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lora_merge_changes_generation(setup):
     """Trained factors merged at scale 1 change the denoiser output."""
     pipe, step_fn, new_state = setup
