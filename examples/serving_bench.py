@@ -9,7 +9,7 @@ import time
 
 from common import argparser, make_pipe21
 
-args = argparser(n="4").parse_args()
+args = argparser(n="4", sampler="").parse_args()
 n = int(args.n)
 
 import jax
@@ -39,6 +39,8 @@ if args.steps:
     kw["num_steps"] = args.steps
 if args.res:
     kw["h"] = kw["w"] = args.res
+if args.sampler:
+    kw["sampler"] = args.sampler
 prompts = [f"a photo of a {x}" for x in
            ["red cat", "blue dog", "green bird", "yellow fish",
             "purple horse", "orange fox", "black swan", "white wolf"]][:n]
