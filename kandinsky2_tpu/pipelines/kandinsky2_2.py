@@ -400,17 +400,18 @@ class Kandinsky2_2:
     # ------------------------------------------------------------------
 
     def _embs_for(self, prompt, negative_prior_prompt, negative_decoder_prompt,
-                  batch_size, prior_steps, prior_guidance_scale):
+                  batch_size, prior_steps, prior_guidance_scale,
+                  prior_sampler="ddpm"):
         img_emb = self.run_prior(
             prompt, batch_size, prior_steps, prior_guidance_scale,
-            negative_prior_prompt,
+            negative_prior_prompt, sampler=prior_sampler,
         )
         if negative_decoder_prompt == "":
             negative_emb = self.get_zero_embed(batch_size)
         else:
             negative_emb = self.run_prior(
                 negative_decoder_prompt, batch_size, prior_steps,
-                prior_guidance_scale,
+                prior_guidance_scale, sampler=prior_sampler,
             )
         # diffusers CFG ordering: [negative; positive]
         return jnp.concatenate([negative_emb, img_emb], axis=0)
@@ -419,16 +420,19 @@ class Kandinsky2_2:
         self, prompt, batch_size=1, decoder_steps=50, prior_steps=25,
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
-        turbo_interval=1, sampler="ddpm",
+        turbo_interval=1, sampler="ddpm", prior_sampler="ddpm",
     ):
         """``sampler``: 'ddpm' is the diffusers-parity ancestral scheduler;
-        'dpmpp' (beyond reference) is deterministic DPM-Solver++(2M) —
-        comparable quality in ~20-25 decoder steps."""
+        'dpmpp'/'dpmpp_karras' (beyond reference) is deterministic
+        DPM-Solver++(2M) — comparable quality in ~20-25 decoder steps.
+        ``prior_sampler="dpmpp"`` runs the 2M solver on the prior too
+        (~10 prior steps)."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
             batch_size, prior_steps, prior_guidance_scale,
+            prior_sampler=prior_sampler,
         )
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,

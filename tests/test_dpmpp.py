@@ -277,6 +277,13 @@ def test_prior_dpmpp_22():
     with pytest.raises(ValueError, match="prior samplers"):
         p.run_prior("a red cat", prior_steps=5, sampler="bogus")
 
+    # the full 2.2 stack: karras decoder + dpmpp prior + turbo caching
+    imgs = p.generate_text2img(
+        "a red cat", decoder_steps=6, prior_steps=4, h=64, w=64,
+        sampler="dpmpp_karras", prior_sampler="dpmpp", turbo_interval=2,
+    )
+    assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
+
 
 def test_pipeline21_dpmpp_karras_smoke():
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
