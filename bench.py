@@ -63,8 +63,6 @@ def main():
                     "conflicts with --sampler/--steps/--turbo/--weights/--small")
     args = ap.parse_args()
     if args.stack:
-        if args.version != "2.1":
-            sys.exit("--stack is a 2.1 preset")
         if args.weights or args.small:
             sys.exit("--stack measures the random-weights full-size config; "
                      "it cannot combine with --weights or --small")
@@ -72,7 +70,9 @@ def main():
                 or args.turbo != 1):
             sys.exit("--stack sets sampler/steps/turbo itself; drop the "
                      "conflicting flags")
-        args.sampler, args.steps, args.turbo = "dpmpp_karras_sampler", 15, 3
+        args.steps, args.turbo = 15, 3
+        args.sampler = ("dpmpp_karras_sampler" if args.version == "2.1"
+                        else "dpmpp_karras")
 
     import jax
 
@@ -160,9 +160,10 @@ def main():
             sys.exit(f"--sampler {args.sampler} has no 2.2 decoder equivalent")
         kw = dict(
             decoder_steps=args.steps, batch_size=1, h=args.res, w=args.res,
-            prior_steps=25 if not args.small else 3,
+            prior_steps=(10 if args.stack else 25) if not args.small else 3,
             decoder_guidance_scale=4, prior_guidance_scale=4,
             turbo_interval=args.turbo, sampler=sampler22,
+            prior_sampler="dpmpp" if args.stack else "ddpm",
         )
     elif args.weights:
         # real-weights mode: exercises the true host tokenizers and trained
