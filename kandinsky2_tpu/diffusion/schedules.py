@@ -73,10 +73,18 @@ def _ddim_uniform_steps(num_ddim_steps: int, num_ddpm_steps: int) -> np.ndarray:
 
 
 def space_timesteps(num_timesteps: int, section_counts) -> set:
-    """Pick a subset of timesteps from the original process (respace.py:24-72).
+    """Pick a subset of timesteps from the original process.
 
-    ``section_counts`` is a list of per-section step counts, a comma-separated
-    string, or "ddimN" for DDIM striding.
+    ``section_counts`` is a list of per-section retained-step counts, a
+    comma-separated string of the same, or "ddimN" for DDIM striding.  The
+    original ``num_timesteps``-step ladder is split into ``len(section_counts)``
+    contiguous sections (remainder steps go to the leading sections) and each
+    section contributes ``section_counts[i]`` evenly spaced timesteps.
+
+    Semantics match the reference's respacing (kandinsky2/model/respace.py:24-72)
+    — in particular the evenly spaced offsets are produced by *accumulating* the
+    fractional stride and rounding half-to-even, which this vectorized form
+    reproduces bit-exactly via ``np.cumsum`` + ``np.round``.
     """
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
@@ -84,28 +92,27 @@ def space_timesteps(num_timesteps: int, section_counts) -> set:
                 _ddim_uniform_steps(int(section_counts[len("ddim") :]), num_timesteps)
             )
         section_counts = [int(x) for x in section_counts.split(",")]
-    size_per = num_timesteps // len(section_counts)
-    extra = num_timesteps % len(section_counts)
-    start_idx = 0
-    all_steps = []
-    for i, section_count in enumerate(section_counts):
-        size = size_per + (1 if i < extra else 0)
-        if size < section_count:
-            raise ValueError(
-                f"cannot divide section of {size} steps into {section_count}"
-            )
-        if section_count <= 1:
-            frac_stride = 1.0
-        else:
-            frac_stride = (size - 1) / (section_count - 1)
-        cur_idx = 0.0
-        taken = []
-        for _ in range(section_count):
-            taken.append(start_idx + round(cur_idx))
-            cur_idx += frac_stride
-        all_steps += taken
-        start_idx += size
-    return set(all_steps)
+    counts = np.asarray(section_counts, dtype=np.int64)
+    n_sections = len(counts)
+    lengths = np.full(n_sections, num_timesteps // n_sections, dtype=np.int64)
+    lengths[: num_timesteps % n_sections] += 1
+    if np.any(lengths < counts):
+        bad = int(np.argmax(lengths < counts))
+        raise ValueError(
+            f"respacing section {bad} spans only {lengths[bad]} original "
+            f"timesteps but was asked to retain {counts[bad]}"
+        )
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    kept: list[int] = []
+    for start, length, count in zip(starts, lengths, counts):
+        # Evenly spaced fractional positions over [0, length-1].  cumsum of a
+        # constant stride reproduces the sequential accumulation the retained
+        # checkpoints were trained/sampled with; np.round is half-to-even like
+        # python's round().
+        stride = (length - 1) / (count - 1) if count > 1 else 1.0
+        offsets = np.round(np.cumsum(np.concatenate(([0.0], np.full(count - 1, stride)))))
+        kept.extend((start + offsets.astype(np.int64)).tolist())
+    return set(kept)
 
 
 def respace_betas(betas: np.ndarray, use_timesteps) -> tuple[np.ndarray, np.ndarray]:
