@@ -122,6 +122,63 @@ class ShardingReport:
         )
 
 
+def _account_spec(
+    names: tuple[str, ...], arr, axis_sizes: dict, min_size: int,
+    rep: ShardingReport,
+) -> P:
+    """Resolve the sharding spec for one parameter and record it in ``rep``.
+
+    ``arr`` only needs ``.shape``/``.dtype``/``.size`` — jax.ShapeDtypeStruct
+    works, so coverage can be audited on eval_shape trees without allocating
+    a single byte (the full-size 1.22B/1B trees are audited this way)."""
+    spec = _param_spec(names, arr, min_size)
+    nbytes = int(np.prod(arr.shape, dtype=np.int64)) * int(
+        np.dtype(arr.dtype).itemsize
+    )
+    rep.total_bytes += nbytes
+    is_candidate = (
+        names[-1] in ("kernel", "embedding")
+        and arr.ndim >= 2
+        and max(arr.shape[-1], arr.shape[-2]) >= min_size
+    )
+    if is_candidate:
+        rep.candidate_bytes += nbytes
+    # guard: axis size must divide the sharded dim
+    ok = all(
+        arr.shape[i] % axis_sizes[ax] == 0
+        for i, ax in enumerate(spec)
+        if ax is not None
+    )
+    if not ok:
+        rep.fallbacks.append(("/".join(names), tuple(arr.shape)))
+        spec = P()
+    if spec != P():
+        rep.sharded_params += 1
+        rep.sharded_bytes += nbytes
+    else:
+        rep.replicated_params += 1
+    return spec
+
+
+def audit_sharding(
+    shapes, model_parallel: int, min_size: int = 1024,
+) -> ShardingReport:
+    """Dry-run ``shard_params`` coverage on a tree of ShapeDtypeStructs (from
+    ``jax.eval_shape``) for a hypothetical mesh with ``model_parallel`` chips
+    on the model axis.  Nothing is allocated or placed — this is the cheap
+    pre-hardware check that the full-size trees neither silently replicate
+    nor hit divisibility fallbacks at real dims."""
+    rep = ShardingReport()
+    axis_sizes = {DATA_AXIS: 1, MODEL_AXIS: model_parallel}
+
+    def visit(path, arr):
+        names = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        _account_spec(names, arr, axis_sizes, min_size, rep)
+
+    jax.tree_util.tree_map_with_path(visit, shapes)
+    return rep
+
+
 def shard_params(params, mesh: Mesh, min_size: int = 1024,
                  report: Optional[ShardingReport] = None,
                  min_candidate_frac: float = 0.0):
@@ -132,34 +189,11 @@ def shard_params(params, mesh: Mesh, min_size: int = 1024,
     raises if less than that fraction of candidate kernel bytes ended up
     sharded (catches renamed modules falling back to replication)."""
     rep = report if report is not None else ShardingReport()
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
     def place(path, arr):
         names = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
-        spec = _param_spec(names, arr, min_size)
-        nbytes = int(arr.size) * int(np.dtype(arr.dtype).itemsize)
-        rep.total_bytes += nbytes
-        is_candidate = (
-            names[-1] in ("kernel", "embedding")
-            and arr.ndim >= 2
-            and max(arr.shape[-1], arr.shape[-2]) >= min_size
-        )
-        if is_candidate:
-            rep.candidate_bytes += nbytes
-        # guard: axis size must divide the sharded dim
-        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-        ok = all(
-            arr.shape[i] % sizes[ax] == 0
-            for i, ax in enumerate(spec)
-            if ax is not None
-        )
-        if not ok:
-            rep.fallbacks.append(("/".join(names), tuple(arr.shape)))
-            spec = P()
-        if spec != P():
-            rep.sharded_params += 1
-            rep.sharded_bytes += nbytes
-        else:
-            rep.replicated_params += 1
+        spec = _account_spec(names, arr, axis_sizes, min_size, rep)
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     out = jax.tree_util.tree_map_with_path(place, params)

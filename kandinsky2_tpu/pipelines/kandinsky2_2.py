@@ -251,6 +251,94 @@ class Kandinsky2_2:
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(),
         )
 
+    def run_prior_emb2emb(
+        self, image, prompt, strength=0.3, batch_size=1, prior_steps=25,
+        guidance_scale=4, negative_prompt="", sampler="ddpm",
+    ):
+        """Prior img2img in embedding space (the diffusers
+        ``KandinskyV22PriorEmb2EmbPipeline`` the reference façade imports,
+        kandinsky2/kandinsky2_2_model.py:8-44): instead of pure noise, the
+        guided prior ladder starts from an existing CLIP image embedding
+        normalized and re-noised to the strength-derived step — the
+        embedding-space mirror of decoder img2img.
+
+        ``image`` is a PIL image (encoded with the ViT-bigG tower) or a
+        precomputed de-normalized embedding of shape [D] / [1, D] / [B, D].
+        ``strength`` in (0, 1]: fraction of the prior ladder actually run
+        (1.0 ≈ ignore the input, small values stay close to it).  Returns
+        de-normalized image embeds [B, D] for the decoder."""
+        batch_size = resolve_batch(prompt, batch_size)
+        hidden, proj, mask = self._encode_text(
+            as_prompt_list(negative_prompt, batch_size)
+            + as_prompt_list(prompt, batch_size)
+        )
+        full = unclip_ladder(prior_steps)
+        t_start = max(prior_steps - min(int(prior_steps * strength), prior_steps), 0)
+        ladder = full[t_start:]
+        if len(ladder) == 0:
+            raise ValueError(
+                f"strength={strength} with prior_steps={prior_steps} leaves "
+                "no prior steps; use strength >= "
+                f"{1.0 / prior_steps:.3f} (or pass the embedding straight to "
+                "the decoder)"
+            )
+        emb = image if hasattr(image, "shape") else self.encode_image(image)
+        emb = jnp.asarray(emb, jnp.float32)
+        if emb.ndim == 1:
+            emb = emb[None]
+        if emb.shape[0] != batch_size:
+            emb = jnp.tile(emb, (batch_size, 1))
+        t0 = int(ladder[0])
+        if sampler == "dpmpp":
+            from ..diffusion import dpmpp_2m_loop, make_dpmpp_tables
+
+            dpm_tables = make_dpmpp_tables(
+                np.asarray(self._prior_acp, np.float64), ladder=ladder,
+            )
+        elif sampler != "ddpm":
+            raise ValueError("2.2 prior samplers: 'ddpm' (parity) or 'dpmpp'")
+
+        def build():
+            def fn(params, emb, hidden, proj, mask, g, rng):
+                def model_fn(x, t):
+                    x2 = jnp.concatenate([x, x], 0)
+                    t2 = jnp.concatenate([t, t], 0)
+                    out = self.prior.apply(
+                        {"params": params["prior"]}, x2, t2, proj, hidden, mask
+                    )
+                    uncond, text = out[:batch_size], out[batch_size:]
+                    return uncond + g * (text - uncond)
+
+                mean = params["prior"]["clip_mean"]
+                std = params["prior"]["clip_std"]
+                lat0 = (emb - mean) / std
+                a = jnp.sqrt(self._prior_acp[t0])
+                noise = jax.random.normal(rng, lat0.shape, jnp.float32)
+                x_T = a * lat0 + jnp.sqrt(1.0 - a**2) * noise
+                if sampler == "dpmpp":
+                    lat = dpmpp_2m_loop(
+                        model_fn, dpm_tables, x_T, prediction="xstart",
+                        denoised_fn=lambda v: jnp.clip(v, -10.0, 10.0),
+                    )
+                else:
+                    lat = paired_ancestral_loop(
+                        model_fn, self._prior_acp, ladder, x_T,
+                        jax.random.fold_in(rng, 1), prediction="sample",
+                        variance="fixed_small_log", clip_range=10.0,
+                    )
+                return lat * std + mean
+
+            return jax.jit(fn)
+
+        fn = self._jit(
+            ("prior22_emb2emb", prior_steps, len(ladder), batch_size, sampler),
+            build,
+        )
+        return fn(
+            self.params, emb, hidden, proj, mask,
+            jnp.asarray(guidance_scale, jnp.float32), self._next_rng(),
+        )
+
     # ------------------------------------------------------------------
     # decoder
     # ------------------------------------------------------------------
@@ -580,27 +668,63 @@ class Kandinsky2_2:
         )
 
     def generate_controlnet(
-        self, prompt, hint, batch_size=1, decoder_steps=50, prior_steps=25,
+        self, prompt, hint=None, batch_size=1, decoder_steps=50, prior_steps=25,
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm",
+        sampler="ddpm", image=None, strength=0.5, image_embeds=None,
     ):
         """ControlNet-depth: ``hint`` is an [H, W, 3] array in [0, 1]
         (e.g. MiDaS depth, host-side preprocessing as in
-        notebooks/kandinsky2_2_controlnet.ipynb)."""
+        notebooks/kandinsky2_2_controlnet.ipynb; ``depth.make_hint``
+        produces one from any RGB photo).  With ``image`` the decoder runs
+        the notebook's ControlnetImg2Img flow: the init image is
+        MoVQ-encoded and re-noised at the ``strength``-derived step, and —
+        when ``hint`` is omitted — also supplies the depth hint.  A
+        precomputed CFG-doubled ``image_embeds`` skips the prior run (the
+        notebook feeds emb2emb prior outputs here)."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
-        embs = self._embs_for(
-            prompt, negative_prior_prompt, negative_decoder_prompt,
-            batch_size, prior_steps, prior_guidance_scale,
-        )
+        if hint is None:
+            if image is None:
+                raise ValueError("generate_controlnet needs hint= or image=")
+            from ..depth import make_hint
+
+            hint = make_hint(image, h=h, w=w)
+        if image_embeds is None:
+            embs = self._embs_for(
+                prompt, negative_prior_prompt, negative_decoder_prompt,
+                batch_size, prior_steps, prior_guidance_scale,
+            )
+        else:
+            embs = image_embeds
         hint = jnp.asarray(hint, jnp.float32)
         if hint.ndim == 3:
             hint = hint[None]
         hint = jnp.tile(hint, (batch_size, 1, 1, 1))
+        x_T = None
+        ladder = None
+        if image is not None:
+            full = ddpm_ladder(decoder_steps)
+            t_start = max(len(full) - int(decoder_steps * strength), 0)
+            ladder = full[t_start:]
+            if len(ladder) == 0:
+                raise ValueError(
+                    f"strength={strength} with decoder_steps={decoder_steps} "
+                    "leaves no refine steps; use strength >= "
+                    f"{1.0 / decoder_steps:.3f}"
+                )
+            init = jnp.asarray(prepare_image_batch(image, w, h, batch_size))
+            lat = self._movq_encode(init) * self.movq_scale
+            if lat.shape[0] != batch_size:
+                lat = jnp.tile(lat, (batch_size, 1, 1, 1))
+            t0 = int(ladder[0])
+            noise = jax.random.normal(self._next_rng(), lat.shape, jnp.float32)
+            a = self._decoder_sqrt_acp[t0]
+            x_T = a * lat + jnp.sqrt(1.0 - a**2) * noise
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
-            extra_a=hint, task="controlnet", sampler=sampler,
+            extra_a=hint, task="controlnet", sampler=sampler, x_T=x_T,
+            ladder=ladder,
         )
 
     # ------------------------------------------------------------------

@@ -13,6 +13,13 @@ needs around the compiled pipelines:
 * Coalesced batches round up to power-of-two buckets (1, 2, 4, ... max_batch)
   by repeating the last prompt, so at most log2(max_batch)+1 executables per
   shape key exist; surplus images are dropped host-side.
+* Tasks: ``text2img`` and ``img2img`` coalesce across users (init images ride
+  per-batch-row, keyed by shape/mode only — content never enters the key);
+  ``inpainting`` runs one request per call because the pipelines take a
+  single mask for the whole batch.  Array/PIL values inside free-form
+  ``**kwargs`` are rejected at submit time: per-request content must go
+  through ``image=`` / ``image_mask=`` so it cannot silently poison the
+  batching key.
 * Backpressure via a bounded queue; clean shutdown.
 
 Device work stays single-threaded (one stream owner); the host side is
@@ -28,17 +35,42 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 
+def _content_descriptor(v) -> Optional[Tuple]:
+    """Shape/dtype (or PIL size/mode) descriptor for per-request content —
+    what batching may key on.  Returns None for plain static values."""
+    if hasattr(v, "shape") and hasattr(v, "dtype"):
+        return ("arr", tuple(v.shape), str(v.dtype))
+    if hasattr(v, "size") and hasattr(v, "mode"):  # PIL.Image
+        return ("pil", tuple(v.size), str(v.mode))
+    return None
+
+
 @dataclass
 class _Request:
     prompt: str
     kwargs: Dict[str, Any]
+    task: str = "text2img"
+    image: Any = None
+    image_mask: Any = None
     future: Future = field(default_factory=Future)
 
+    @property
+    def coalescable(self) -> bool:
+        # inpainting takes ONE mask per pipeline call; distinct users' masks
+        # cannot share a batch, so those requests execute individually
+        return self.task in ("text2img", "img2img")
+
     def shape_key(self) -> Tuple:
-        # all kwargs are static shape/program parameters for every pipeline
+        # all **kwargs are static shape/program parameters for every pipeline
         # version (h/w/num_steps for 2.x, decoder_steps/prior_steps for 2.2);
-        # requests batch together only when the compiled program is identical
-        return tuple(sorted((k, str(v)) for k, v in self.kwargs.items()))
+        # requests batch together only when the compiled program is identical.
+        # Per-request content (init image) contributes shape/mode, never
+        # content — each batch row consumes its own image.
+        parts = [("task", self.task)]
+        if self.image is not None:
+            parts.append(("image", _content_descriptor(self.image)))
+        parts.extend(sorted((k, str(v)) for k, v in self.kwargs.items()))
+        return tuple(parts)
 
 
 class GenerationServer:
@@ -75,12 +107,23 @@ class GenerationServer:
         return self.max_batch
 
     def warmup(self, shapes: List[dict]) -> None:
-        """Precompile executables for every (kwargs, batch-bucket) pair."""
+        """Precompile executables for every (kwargs, batch-bucket) pair.  An
+        entry may carry ``task="img2img"`` to warm the img2img program (a
+        black init image of the requested size is used)."""
         for kw in shapes:
+            kw = dict(kw)
+            task = kw.pop("task", "text2img")
             for b in self._buckets():
-                self.pipeline.generate_text2img(
-                    ["warmup"] * b, batch_size=b, **kw
-                )
+                prompts = ["warmup"] * b
+                if task == "img2img":
+                    from PIL import Image
+
+                    img = Image.new("RGB", (kw.get("w", 512), kw.get("h", 512)))
+                    self.pipeline.generate_img2img(
+                        prompts, [img] * b, batch_size=b, **kw
+                    )
+                else:
+                    self.pipeline.generate_text2img(prompts, batch_size=b, **kw)
 
     def start(self) -> None:
         if self._thread is not None:
@@ -95,9 +138,33 @@ class GenerationServer:
             self._thread.join(timeout=30)
             self._thread = None
 
-    def submit(self, prompt: str, **kwargs) -> Future:
-        """Enqueue a text2img request; returns a Future of list[PIL.Image]."""
-        req = _Request(prompt=prompt, kwargs=kwargs)
+    def submit(
+        self, prompt: str, *, task: str = "text2img", image=None,
+        image_mask=None, **kwargs,
+    ) -> Future:
+        """Enqueue a generation request; returns a Future of list[PIL.Image].
+
+        ``task``: "text2img" (default), "img2img" (requires ``image``), or
+        "inpainting" (requires ``image`` + ``image_mask``; executes
+        unbatched).  Per-request content goes through ``image=`` /
+        ``image_mask=`` only — arrays/PIL objects hiding in other kwargs are
+        rejected because their content cannot participate in the batch key."""
+        if task not in ("text2img", "img2img", "inpainting"):
+            raise ValueError(f"unsupported serving task: {task!r}")
+        if task != "text2img" and image is None:
+            raise ValueError(f"task={task!r} requires image=")
+        if task == "inpainting" and image_mask is None:
+            raise ValueError("task='inpainting' requires image_mask=")
+        for k, v in kwargs.items():
+            if _content_descriptor(v) is not None:
+                raise TypeError(
+                    f"array/PIL kwarg {k!r} is not batchable; pass "
+                    "per-request content via image= / image_mask="
+                )
+        req = _Request(
+            prompt=prompt, kwargs=kwargs, task=task, image=image,
+            image_mask=image_mask,
+        )
         self._queue.put(req)
         return req.future
 
@@ -109,6 +176,8 @@ class GenerationServer:
         except queue.Empty:
             return []
         batch = [first]
+        if not first.coalescable:
+            return batch
         deadline = threading.Event()
         deadline.wait(self.batch_window_s)
         key = first.shape_key()
@@ -135,12 +204,27 @@ class GenerationServer:
                 # one compiled program serves the whole batch, distinct
                 # prompts included; pad to the warmed bucket so coalesced
                 # sizes 3, 5, 6... reuse the 4- and 8-wide executables
-                b = self._bucket_for(len(batch))
-                prompts = [r.prompt for r in batch]
-                prompts += [prompts[-1]] * (b - len(batch))
-                images = self.pipeline.generate_text2img(
-                    prompts, batch_size=b, **batch[0].kwargs
-                )
+                task = batch[0].task
+                kw = batch[0].kwargs
+                if task == "inpainting":
+                    r = batch[0]
+                    images = self.pipeline.generate_inpainting(
+                        [r.prompt], r.image, r.image_mask, batch_size=1, **kw
+                    )
+                else:
+                    b = self._bucket_for(len(batch))
+                    prompts = [r.prompt for r in batch]
+                    prompts += [prompts[-1]] * (b - len(batch))
+                    if task == "img2img":
+                        inits = [r.image for r in batch]
+                        inits += [inits[-1]] * (b - len(batch))
+                        images = self.pipeline.generate_img2img(
+                            prompts, inits, batch_size=b, **kw
+                        )
+                    else:
+                        images = self.pipeline.generate_text2img(
+                            prompts, batch_size=b, **kw
+                        )
                 for req, img in zip(batch, images):
                     req.future.set_result([img])
             except Exception as e:  # pragma: no cover - error propagation

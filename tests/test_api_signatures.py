@@ -100,3 +100,13 @@ def test_22_signatures(method):
     from kandinsky2_tpu.pipelines import Kandinsky2_2
 
     _check(getattr(ref, method), getattr(Kandinsky2_2, method))
+
+
+def test_compile_cache_enabled_at_import():
+    """Package import points the persistent compilation cache somewhere
+    (env-gated) so serving restarts never pay full-size cold compiles."""
+    import jax
+
+    import kandinsky2_tpu  # noqa: F401
+
+    assert jax.config.jax_compilation_cache_dir

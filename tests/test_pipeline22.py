@@ -178,3 +178,101 @@ def test_text2img_22_prompt_list(pipe):
     assert len(imgs) == 2
     a = np.asarray(imgs[0], np.float32)
     assert a.shape == (64, 64, 3) and np.isfinite(a).all()
+
+
+def test_prior_emb2emb_22(pipe):
+    """PriorEmb2Emb (diffusers KandinskyV22PriorEmb2EmbPipeline family):
+    PIL and raw-embedding inputs, batch tiling, end-to-end to the decoder."""
+    src = Image.fromarray(
+        (np.random.RandomState(7).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    emb = pipe.run_prior_emb2emb(src, "a cat", strength=0.6, prior_steps=5)
+    D = pipe.prior.embedding_dim
+    assert emb.shape == (1, D)
+    assert np.isfinite(np.asarray(emb)).all()
+    # raw de-normalized embedding input, tiled to batch 2, dpmpp sampler
+    emb2 = pipe.run_prior_emb2emb(
+        np.asarray(emb)[0], ["a cat", "a dog"], strength=0.8, prior_steps=5,
+        sampler="dpmpp",
+    )
+    assert emb2.shape == (2, D)
+    assert np.isfinite(np.asarray(emb2)).all()
+    # the embeds drive the decoder exactly like run_prior output
+    neg = pipe.get_zero_embed(1)
+    imgs = pipe._decode_loop(
+        jnp.concatenate([neg, emb], axis=0), 1, 3, 4.0, 64, 64
+    )
+    assert np.asarray(imgs[0]).shape == (64, 64, 3)
+
+
+def test_prior_emb2emb_strength_guard(pipe):
+    with pytest.raises(ValueError, match="no prior steps"):
+        pipe.run_prior_emb2emb(
+            jnp.zeros((1, pipe.prior.embedding_dim)), "x", strength=0.01,
+            prior_steps=5,
+        )
+
+
+def test_prior_emb2emb_qsample_start(monkeypatch):
+    """Hand-computed q_sample start: with the ancestral loop stubbed to
+    identity and the start noise zeroed, the output must be exactly
+    denorm(sqrt(acp[t0]) * norm(emb)) at the strength-derived t0 — pinning
+    the normalize -> re-noise -> denormalize plumbing."""
+    import kandinsky2_tpu.pipelines.kandinsky2_2 as K22
+
+    p = make_pipe("text2img")
+    D = p.prior.embedding_dim
+    p.params["prior"]["clip_mean"] = jnp.full((1, D), 0.3, jnp.float32)
+    p.params["prior"]["clip_std"] = jnp.full((1, D), 2.0, jnp.float32)
+    monkeypatch.setattr(
+        K22, "paired_ancestral_loop",
+        lambda model_fn, acp, ladder, x_T, rng=None, **kw: x_T,
+    )
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+    prior_steps, strength = 4, 0.5
+    emb = jnp.asarray(np.random.RandomState(9).randn(1, D), jnp.float32)
+    got = p.run_prior_emb2emb(
+        emb, "a cat", strength=strength, prior_steps=prior_steps,
+    )
+    from kandinsky2_tpu.diffusion.paired import unclip_ladder
+
+    full = unclip_ladder(prior_steps)
+    t0 = int(full[prior_steps - int(prior_steps * strength):][0])
+    a = float(np.sqrt(np.asarray(p._prior_acp)[t0]))
+    want = (a * (np.asarray(emb) - 0.3) / 2.0) * 2.0 + 0.3
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_controlnet_img2img_22():
+    """Notebook flow (kandinsky2_2_controlnet.ipynb): hint derived from the
+    init photo, decoder starts from the re-noised init latent, prior embeds
+    precomputed via emb2emb."""
+    from kandinsky2_tpu.depth import make_hint
+
+    pipe = make_pipe("controlnet")
+    src = Image.fromarray(
+        (np.random.RandomState(11).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    emb = pipe.run_prior_emb2emb(
+        pipe.encode_image(src), "a house", strength=0.85, prior_steps=4
+    )
+    embs = jnp.concatenate([pipe.get_zero_embed(1), emb], axis=0)
+    imgs = pipe.generate_controlnet(
+        "a house", image=src, strength=0.5, image_embeds=embs,
+        decoder_steps=4, h=64, w=64,
+    )
+    arr = np.asarray(imgs[0])
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr.astype(np.float32)).all()
+    # hint auto-derivation matches make_hint(src)
+    with pytest.raises(ValueError, match="hint= or image="):
+        pipe.generate_controlnet("a house", decoder_steps=3, h=64, w=64)
+    with pytest.raises(ValueError, match="no refine steps"):
+        pipe.generate_controlnet(
+            "a house", image=src, strength=0.01, image_embeds=embs,
+            decoder_steps=4, h=64, w=64,
+        )
+    assert make_hint(src, h=64, w=64).shape == (64, 64, 3)
