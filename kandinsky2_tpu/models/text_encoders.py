@@ -166,10 +166,62 @@ class MultilingualCLIP(nn.Module):
         ), embs
 
 
+class BertEncoder(nn.Module):
+    """HF ``BertModel`` layout: absolute position embeddings from 0, token
+    type 0, the same encoder stack as XLM-R, plus the tanh pooler over [CLS]
+    (reference text_encoders.py:134-137 / forward :156-158)."""
+
+    vocab_size: int = 30522
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_positions: int = 512
+    type_vocab: int = 2
+    eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        T = input_ids.shape[1]
+        emb = nn.Embed(
+            self.vocab_size, self.hidden, param_dtype=jnp.float32,
+            name="embeddings.word_embeddings",
+        )(input_ids)
+        emb = emb + nn.Embed(
+            self.max_positions, self.hidden, param_dtype=jnp.float32,
+            name="embeddings.position_embeddings",
+        )(jnp.broadcast_to(jnp.arange(T), input_ids.shape))
+        emb = emb + nn.Embed(
+            self.type_vocab, self.hidden, param_dtype=jnp.float32,
+            name="embeddings.token_type_embeddings",
+        )(jnp.zeros_like(input_ids))
+        h = LayerNormF32(eps=self.eps, name="embeddings.LayerNorm")(emb).astype(
+            self.dtype
+        )
+        attn_mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * NEG_INF
+        for i in range(self.layers):
+            h = _BertLayer(
+                self.hidden, self.heads, self.intermediate, self.eps,
+                dtype=self.dtype, name=f"encoder.layer.{i}",
+            )(h, attn_mask)
+        pooled = jnp.tanh(
+            dense(self.hidden, "pooler.dense", self.dtype)(h[:, 0])
+        )
+        return h, pooled
+
+
 class TextEncoder(nn.Module):
-    """Facade over the text-encoder backends (text_encoders.py:125-167).
-    Only the shipped 'multiclip' backend runs on-device; T5/MT5 towers live in
-    ``models/t5.py`` once the 2.0 pipeline needs them."""
+    """Facade over the text-encoder backends (text_encoders.py:125-167):
+    'multiclip' (the shipped 2.0/2.1 path), 'clip' (ImagenCLIP = the OpenAI
+    CLIP text tower, :61-106), 'T5EncoderModel'/'MT5EncoderModel'
+    (models/t5.py), 'BertModel', and 'xlm_roberta'.  All return the
+    reference's ``(full_out, pooled_out)`` contract (pooled is None for the
+    pooling-free backends).
+
+    Dim fields are interpreted per backend: ``in_features`` is the tower
+    width, ``out_features`` the projection/embed dim, ``max_positions`` the
+    context length for 'clip'."""
 
     model_name: str = "multiclip"
     in_features: int = 1024
@@ -182,7 +234,7 @@ class TextEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens, mask):
+    def __call__(self, tokens, mask=None):
         if self.model_name == "multiclip":
             pooled, full = MultilingualCLIP(
                 out_features=self.out_features, vocab_size=self.vocab_size,
@@ -191,6 +243,41 @@ class TextEncoder(nn.Module):
                 max_positions=self.max_positions, dtype=self.dtype, name="model",
             )(tokens, mask)
             return full, pooled
+        if self.model_name == "clip":
+            full, pooled = CLIPTextTower(
+                vocab_size=self.vocab_size, context_length=self.max_positions,
+                width=self.in_features, layers=self.layers, heads=self.heads,
+                embed_dim=self.out_features, dtype=self.dtype, name="model",
+            )(tokens)
+            return full, pooled
+        if self.model_name in ("T5EncoderModel", "MT5EncoderModel"):
+            from .t5 import T5Encoder
+
+            full = T5Encoder(
+                vocab_size=self.vocab_size, d_model=self.in_features,
+                d_kv=self.in_features // self.heads, d_ff=self.intermediate,
+                num_layers=self.layers, num_heads=self.heads,
+                dtype=self.dtype, name="model",
+            )(tokens, mask)
+            return full, None
+        if self.model_name == "BertModel":
+            full, pooled = BertEncoder(
+                vocab_size=self.vocab_size, hidden=self.in_features,
+                layers=self.layers, heads=self.heads,
+                intermediate=self.intermediate,
+                max_positions=self.max_positions, dtype=self.dtype,
+                name="model",
+            )(tokens, mask)
+            return full, pooled
+        if self.model_name == "xlm_roberta":
+            full = XLMRobertaEncoder(
+                vocab_size=self.vocab_size, hidden=self.in_features,
+                layers=self.layers, heads=self.heads,
+                intermediate=self.intermediate,
+                max_positions=self.max_positions, dtype=self.dtype,
+                name="model",
+            )(tokens, mask)
+            return full.astype(jnp.float32), None
         raise NotImplementedError(self.model_name)
 
 

@@ -166,3 +166,66 @@ def test_attention_pooling_parity():
         theirs = ref(torch.tensor(x)).numpy()
     got = ours.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(theirs, np.asarray(got), atol=2e-5)
+
+
+def test_bert_backend_parity():
+    """TextEncoder('BertModel') vs transformers BertModel incl. tanh pooler
+    (reference text_encoders.py:134-137, :156-158)."""
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(
+        vocab_size=80, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    ref = BertModel(cfg).eval()
+
+    ours = TextEncoder(
+        model_name="BertModel", in_features=32, layers=2, heads=4,
+        intermediate=64, vocab_size=80, max_positions=40,
+    )
+    rng = np.random.RandomState(1)
+    tokens = rng.randint(3, 80, size=(2, 11))
+    tokens[1, 7:] = 0
+    mask = (tokens != 0).astype(np.int32)
+
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(mask)
+    )["params"]
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    params = convert_state_dict(sd, params)
+
+    with torch.no_grad():
+        out = ref(input_ids=torch.tensor(tokens), attention_mask=torch.tensor(mask))
+    full_j, pooled_j = ours.apply(
+        {"params": params}, jnp.asarray(tokens), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        out.last_hidden_state.numpy(), np.asarray(full_j), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        out.pooler_output.numpy(), np.asarray(pooled_j), atol=3e-4
+    )
+
+
+def test_facade_backend_routing():
+    """Every reference facade backend (text_encoders.py:125-147) initializes
+    and returns the (full, pooled) contract through TextEncoder."""
+    tokens = jnp.asarray(np.random.RandomState(2).randint(2, 50, size=(1, 8)))
+    mask = jnp.ones_like(tokens)
+
+    for name, kw, pooled_none in [
+        ("clip", dict(in_features=32, out_features=24, max_positions=8), False),
+        ("T5EncoderModel", dict(in_features=32, intermediate=64), True),
+        ("MT5EncoderModel", dict(in_features=32, intermediate=64), True),
+        ("xlm_roberta", dict(in_features=32, intermediate=64, max_positions=40), True),
+    ]:
+        enc = TextEncoder(
+            model_name=name, layers=2, heads=4, vocab_size=50, **kw
+        )
+        params = enc.init(jax.random.PRNGKey(0), tokens, mask)["params"]
+        full, pooled = enc.apply({"params": params}, tokens, mask)
+        assert full.shape[0] == 1 and full.ndim == 3, name
+        assert (pooled is None) == pooled_none, name
+        assert full.dtype == jnp.float32, name
