@@ -15,7 +15,7 @@ Counterpart of reference kandinsky2/model/nn.py.  Conventions:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,10 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     swish: float = 0.0
+    # Set to a mesh axis name when the spatial rows are sharded over devices
+    # (parallel/spatial.py): mean/var are then psum'd over the axis so the
+    # statistics span the full image, not one device's row block.
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +73,22 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         g = self.num_groups
-        if _NORM_MODE == "full":
+        if self.axis_name is not None:
+            y = x.astype(jnp.float32)
+            grouped = y.reshape(y.shape[0], -1, g, C // g)
+            cnt = jax.lax.psum(
+                jnp.float32(grouped.shape[1] * grouped.shape[3]), self.axis_name
+            )
+            mean = jax.lax.psum(
+                grouped.sum(axis=(1, 3), keepdims=True), self.axis_name
+            ) / cnt
+            var = jax.lax.psum(
+                ((grouped - mean) ** 2).sum(axis=(1, 3), keepdims=True),
+                self.axis_name,
+            ) / cnt
+            grouped = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
+            y = (grouped.reshape(y.shape) * scale + bias).astype(orig_dtype)
+        elif _NORM_MODE == "full":
             y = x.astype(jnp.float32)
             grouped = y.reshape(y.shape[0], -1, g, C // g)
             mean = grouped.mean(axis=(1, 3), keepdims=True)

@@ -14,7 +14,7 @@ mechanically.  All spatial tensors are NHWC.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,26 +37,42 @@ def swish(x):
 
 class SpatialNorm(nn.Module):
     """norm(f) * conv_y(zq) + conv_b(zq), zq nearest-resized to f
-    (movq_modules.py:34-68)."""
+    (movq_modules.py:34-68).
+
+    Under spatial parallelism (``sp_axis`` set, parallel/spatial.py) the
+    nearest resize stays device-local — integer-factor row maps keep equal
+    row shards aligned — and only the norm statistics cross devices."""
 
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, f: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
         zq = resize_nearest(zq, f.shape[1:3])
-        norm_f = GroupNorm32(num_groups=32, eps=1e-6, name="norm_layer")(f)
+        norm_f = GroupNorm32(
+            num_groups=32, eps=1e-6, axis_name=self.sp_axis, name="norm_layer"
+        )(f)
         conv_y = dense(f.shape[-1], "conv_y", self.dtype)
         conv_b = dense(f.shape[-1], "conv_b", self.dtype)
         return norm_f * conv_y(zq) + conv_b(zq)
 
 
-def _norm(spatial: bool, name: str, dtype, x, zq=None):
+def _norm(spatial: bool, name: str, dtype, x, zq=None, sp_axis=None):
     """GroupNorm(32, eps=1e-6) or SpatialNorm depending on whether this codec
     is zq-modulated (movq_modules.Normalize vs vqgan_blocks.Normalize).
     Constructed inline so the flax path equals the torch module path."""
     if spatial:
-        return SpatialNorm(dtype=dtype, name=name)(x, zq)
-    return GroupNorm32(num_groups=32, eps=1e-6, name=name)(x)
+        return SpatialNorm(dtype=dtype, sp_axis=sp_axis, name=name)(x, zq)
+    return GroupNorm32(num_groups=32, eps=1e-6, axis_name=sp_axis, name=name)(x)
+
+
+def _conv3(features: int, name: str, dtype, sp_axis=None):
+    """3x3 conv; halo-exchange variant when rows are device-sharded."""
+    if sp_axis is None:
+        return conv2d(features, name, dtype=dtype)
+    from ..parallel.spatial import sp_conv3x3
+
+    return sp_conv3x3(features, name, sp_axis, dtype=dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -67,15 +83,16 @@ class ResnetBlock(nn.Module):
     out_channels: int
     spatial_norm: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, zq=None):
-        h = _norm(self.spatial_norm, "norm1", self.dtype, x, zq)
+        h = _norm(self.spatial_norm, "norm1", self.dtype, x, zq, self.sp_axis)
         h = swish(h)
-        h = conv2d(self.out_channels, "conv1", dtype=self.dtype)(h)
-        h = _norm(self.spatial_norm, "norm2", self.dtype, h, zq)
+        h = _conv3(self.out_channels, "conv1", self.dtype, self.sp_axis)(h)
+        h = _norm(self.spatial_norm, "norm2", self.dtype, h, zq, self.sp_axis)
         h = swish(h)
-        h = conv2d(self.out_channels, "conv2", dtype=self.dtype)(h)
+        h = _conv3(self.out_channels, "conv2", self.dtype, self.sp_axis)(h)
         if self.in_channels != self.out_channels:
             x = dense(self.out_channels, "nin_shortcut", self.dtype)(x)
         return x + h
@@ -87,11 +104,20 @@ class AttnBlock(nn.Module):
 
     spatial_norm: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, zq=None):
         B, H, W, C = x.shape
-        h = _norm(self.spatial_norm, "norm", self.dtype, x, zq)
+        h = _norm(self.spatial_norm, "norm", self.dtype, x, zq, self.sp_axis)
+        if self.sp_axis is not None:
+            from ..parallel.spatial import sp_attention_rows
+
+            q = dense(C, "q", self.dtype)(h)
+            k = dense(C, "k", self.dtype)(h)
+            v = dense(C, "v", self.dtype)(h)
+            out = sp_attention_rows(q, k, v, self.sp_axis)
+            return x + dense(C, "proj_out", self.dtype)(out)
         q = dense(C, "q", self.dtype)(h).reshape(B, H * W, C)
         k = dense(C, "k", self.dtype)(h).reshape(B, H * W, C)
         v = dense(C, "v", self.dtype)(h).reshape(B, H * W, C)
@@ -120,10 +146,13 @@ class Upsample(nn.Module):
 
     channels: int
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        return conv2d(self.channels, "conv", dtype=self.dtype)(upsample_nearest_2x(x))
+        return _conv3(self.channels, "conv", self.dtype, self.sp_axis)(
+            upsample_nearest_2x(x)
+        )
 
 
 class Encoder(nn.Module):
@@ -183,41 +212,47 @@ class Decoder(nn.Module):
     resolution: int = 256
     spatial_norm: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, z, zq=None):
         num_res = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_res - 1]
         curr_res = self.resolution // 2 ** (num_res - 1)
-        h = conv2d(block_in, "conv_in", dtype=self.dtype)(z)
+        h = _conv3(block_in, "conv_in", self.dtype, self.sp_axis)(z)
         h = ResnetBlock(
-            block_in, block_in, self.spatial_norm, self.dtype, name="mid.block_1"
+            block_in, block_in, self.spatial_norm, self.dtype, self.sp_axis,
+            name="mid.block_1",
         )(h, zq)
-        h = AttnBlock(self.spatial_norm, self.dtype, name="mid.attn_1")(h, zq)
+        h = AttnBlock(
+            self.spatial_norm, self.dtype, self.sp_axis, name="mid.attn_1"
+        )(h, zq)
         h = ResnetBlock(
-            block_in, block_in, self.spatial_norm, self.dtype, name="mid.block_2"
+            block_in, block_in, self.spatial_norm, self.dtype, self.sp_axis,
+            name="mid.block_2",
         )(h, zq)
         for i_level in reversed(range(num_res)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
                 h = ResnetBlock(
                     block_in, block_out, self.spatial_norm, self.dtype,
-                    name=f"up.{i_level}.block.{i_block}",
+                    self.sp_axis, name=f"up.{i_level}.block.{i_block}",
                 )(h, zq)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
                     h = AttnBlock(
-                        self.spatial_norm, self.dtype,
+                        self.spatial_norm, self.dtype, self.sp_axis,
                         name=f"up.{i_level}.attn.{i_block}",
                     )(h, zq)
             if i_level != 0:
                 h = Upsample(
-                    block_in, dtype=self.dtype, name=f"up.{i_level}.upsample"
+                    block_in, dtype=self.dtype, sp_axis=self.sp_axis,
+                    name=f"up.{i_level}.upsample",
                 )(h)
                 curr_res *= 2
-        h = _norm(self.spatial_norm, "norm_out", self.dtype, h, zq)
+        h = _norm(self.spatial_norm, "norm_out", self.dtype, h, zq, self.sp_axis)
         h = swish(h)
-        return conv2d(self.out_ch, "conv_out", dtype=self.dtype)(h)
+        return _conv3(self.out_ch, "conv_out", self.dtype, self.sp_axis)(h)
 
 
 class VectorQuantizer(nn.Module):
@@ -271,6 +306,10 @@ class MOVQ(nn.Module):
     resolution: int = 256
     out_ch: int = 3
     dtype: Dtype = jnp.float32
+    # Mesh axis name for row-sharded (spatially parallel) decoding; see
+    # parallel/spatial.py.  Only the decoder is SP-aware: decode activations
+    # at 8x the latent resolution dominate memory, encode does not.
+    sp_axis: Optional[str] = None
 
     def setup(self):
         self.encoder = Encoder(
@@ -283,7 +322,8 @@ class MOVQ(nn.Module):
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
             num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
-            spatial_norm=True, dtype=self.dtype, name="decoder",
+            spatial_norm=True, dtype=self.dtype, sp_axis=self.sp_axis,
+            name="decoder",
         )
         self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, name="quantize")
         self.quant_conv = dense(self.embed_dim, "quant_conv", self.dtype)

@@ -5,3 +5,4 @@ from .mesh import (
     replicate,
     shard_params,
 )
+from .spatial import halo_exchange_rows, sp_attention_rows, spatial_decode

@@ -1,0 +1,140 @@
+"""Spatial (sequence-style) parallelism for the convolutional codecs.
+
+Beyond the reference: Kandinsky-2 (CUDA/torch) decodes the full image on one
+GPU, so its maximum resolution is bounded by a single device's memory.  On a
+TPU mesh we shard the *rows* of the image across devices and keep every conv
+mathematically exact with one-row halo exchanges over ICI:
+
+* 3x3 stride-1 convs (`sp_conv3x3`): each device `ppermute`s its edge rows to
+  its neighbours and convolves VALID over the height axis.  `ppermute` leaves
+  zeros in un-targeted destinations, which at the global top/bottom edge is
+  exactly torch's ``padding=1`` zero-pad — so the sharded conv is bit-for-bit
+  the unsharded one up to reduction order.
+* GroupNorm/SpatialNorm statistics span the full image via two `psum`s
+  (see ``GroupNorm32(axis_name=...)`` in models/layers.py).
+* Full-spatial attention (MoVQ's 32x32 bottleneck) computes local query rows
+  against all-gathered keys/values — exact softmax, O(rows/n) work per device.
+* Nearest-neighbour resizes (SpatialNorm's zq broadcast, decoder upsamples)
+  are integer-factor row maps, so equal row shards stay aligned at every
+  scale and need no communication at all.
+
+The same parameter tree drives both paths: the SP modules instantiate
+identically-named flax params, so a converted MoVQ checkpoint works
+unchanged.  Use::
+
+    out = spatial_decode(movq, params, code, mesh, axis="sp")
+
+to decode latents whose decoded image would not fit on one chip (e.g. 4096²,
+where fp32 decoder activations alone exceed 16 GB HBM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import Mesh, PartitionSpec as P
+
+Dtype = jnp.dtype
+
+SPATIAL_AXIS = "sp"
+
+
+def halo_exchange_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Concatenate each device's row block with one halo row from each
+    neighbour along the sharded height axis: (B, Hl, W, C) -> (B, Hl+2, W, C).
+
+    The first device's top halo and the last device's bottom halo arrive as
+    zeros (ppermute semantics), matching torch Conv2d zero padding.
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    down = [(i, i + 1) for i in range(n - 1)]  # my last row -> next device
+    up = [(i + 1, i) for i in range(n - 1)]  # my first row -> previous device
+    from_above = jax.lax.ppermute(x[:, -1:], axis_name, down)
+    from_below = jax.lax.ppermute(x[:, :1], axis_name, up)
+    return jnp.concatenate([from_above, x, from_below], axis=1)
+
+
+def sp_conv3x3(
+    features: int,
+    name: str,
+    axis_name: str,
+    dtype=jnp.float32,
+):
+    """3x3 stride-1 padding-1 conv over row-sharded NHWC activations.
+
+    Creates the identical ``nn.Conv`` parameters as models.layers.conv2d
+    (same name, same kernel shape) so one weight tree serves both layouts.
+    """
+    conv = nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        strides=(1, 1),
+        padding=((0, 0), (1, 1)),  # height handled by the halo rows
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.lecun_normal(),
+        name=name,
+    )
+    return lambda x: conv(halo_exchange_rows(x, axis_name))
+
+
+def sp_attention_rows(q, k, v, axis_name: str):
+    """Exact full-spatial single-head attention over row-sharded maps.
+
+    q, k, v: (B, Hl, W, C) local row blocks.  Keys/values are all-gathered
+    along the axis (restoring the full H in device order); each device
+    computes the softmax rows it owns.  Returns (B, Hl, W, C).
+    """
+    B, Hl, W, C = q.shape
+    kf = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+    vf = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    ql = q.reshape(B, Hl * W, C)
+    kf = kf.reshape(B, -1, C)
+    vf = vf.reshape(B, -1, C)
+    logits = jnp.einsum("btc,bsc->bts", ql, kf, preferred_element_type=jnp.float32)
+    logits = logits * (C ** -0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vf.dtype)
+    return jnp.einsum("bts,bsc->btc", w, vf).reshape(B, Hl, W, C)
+
+
+def spatial_decode(
+    movq: nn.Module,
+    params,
+    codes_or_quant: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = SPATIAL_AXIS,
+    method: str = "decode_code",
+) -> jnp.ndarray:
+    """Run ``movq.decode_code`` / ``movq.decode`` with rows sharded over
+    ``mesh[axis]``.
+
+    ``codes_or_quant``: (B, Hl, Wl) int codes for ``decode_code`` or
+    (B, Hl, Wl, C) pre-quant latents for ``decode``.  Latent rows must divide
+    by the axis size.  Returns the decoded image, row-sharded over the mesh
+    (a global jnp array; ``np.asarray`` gathers it to host).
+    """
+    n = mesh.shape[axis]
+    h_latent = codes_or_quant.shape[1]
+    if h_latent % n != 0:
+        raise ValueError(
+            f"latent height {h_latent} must divide the spatial axis size {n}"
+        )
+    sp = movq.clone(sp_axis=axis, parent=None)
+    in_spec = P(None, axis) if method == "decode_code" else P(None, axis, None, None)
+
+    def run(p, c):
+        return sp.apply({"params": p}, c, method=getattr(type(sp), method))
+
+    f = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), in_spec),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    return f(params, codes_or_quant)

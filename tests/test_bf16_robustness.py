@@ -50,6 +50,7 @@ def bf16_pipe():
     return pipe
 
 
+@pytest.mark.slow
 def test_bf16_pipeline_finite_realistic_scales(bf16_pipe):
     """Full CFG -> sampler -> MoVQ stack in bf16 at torch-init activation
     magnitudes must stay finite end to end."""
@@ -64,6 +65,7 @@ def test_bf16_pipeline_finite_realistic_scales(bf16_pipe):
     assert np.isfinite(arr).all()
 
 
+@pytest.mark.slow
 def test_bf16_psampler_finite_realistic_scales(bf16_pipe):
     """p_sampler exercises the learned-variance split + on-device noise."""
     imgs = bf16_pipe.generate_text2img(

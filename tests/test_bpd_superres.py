@@ -1,5 +1,6 @@
 """VLB/BPD evaluation parity vs the reference and SuperRes UNet smoke tests."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -58,6 +59,7 @@ def test_calc_bpd_loop_shapes_and_total():
     assert np.isfinite(np.asarray(out["total_bpd"])).all()
 
 
+@pytest.mark.slow
 def test_superres_unets():
     common = dict(
         model_channels=32, num_res_blocks=1, channel_mult=(1, 2),

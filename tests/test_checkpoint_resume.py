@@ -19,6 +19,9 @@ from kandinsky2_tpu.train.checkpoint import (
 from kandinsky2_tpu.train.train_unclip import train_unclip
 
 
+pytestmark = pytest.mark.slow
+
+
 def _tiny_setup():
     cfg = deep_copy_config(CONFIG_2_1)
     mc = cfg["model_config"]

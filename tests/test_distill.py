@@ -16,6 +16,9 @@ from kandinsky2_tpu.train.train_lora import unet22_eps_fn
 from test_lora_train import _dezero
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     from test_pipeline22 import make_pipe

@@ -170,6 +170,7 @@ def test_dpmpp_karras_exact_on_point_mass(base_acp):
     np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pipeline21_dpmpp_turbo_smoke():
     """Deep-branch caching (model_state) rides the dpmpp scan carry."""
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
@@ -187,6 +188,7 @@ def test_pipeline21_dpmpp_turbo_smoke():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+@pytest.mark.slow
 def test_prior_dpmpp_21():
     """prior_steps="dpmppN" runs the 2M solver on the x0-predicting prior,
     in both the standalone prior call and the fused text2img program."""
@@ -214,6 +216,7 @@ def test_prior_dpmpp_21():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+@pytest.mark.slow
 def test_pipeline22_img2img_dpmpp():
     """dpmpp over the strength-truncated 2.2 img2img ladder."""
     from PIL import Image
@@ -230,6 +233,7 @@ def test_pipeline22_img2img_dpmpp():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+@pytest.mark.slow
 def test_pipeline22_img2img_karras_respects_truncation():
     """Regression: dpmpp_karras on a strength-truncated img2img ladder must
     cap sigma_max at the ladder start (x_T is only partially noised) —
@@ -267,6 +271,7 @@ def test_pipeline22_img2img_karras_respects_truncation():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+@pytest.mark.slow
 def test_prior_dpmpp_22():
     from test_pipeline22 import make_pipe
 
@@ -285,6 +290,7 @@ def test_prior_dpmpp_22():
     assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
+@pytest.mark.slow
 def test_pipeline21_dpmpp_karras_smoke():
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
     from kandinsky2_tpu.pipelines import Kandinsky2_1
@@ -301,6 +307,7 @@ def test_pipeline21_dpmpp_karras_smoke():
     assert a.shape == (64, 64, 3) and np.isfinite(a).all()
 
 
+@pytest.mark.slow
 def test_pipeline21_dpmpp_smoke():
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
     from kandinsky2_tpu.pipelines import Kandinsky2_1
@@ -317,6 +324,7 @@ def test_pipeline21_dpmpp_smoke():
     assert a.shape == (64, 64, 3) and np.isfinite(a).all()
 
 
+@pytest.mark.slow
 def test_pipeline22_dpmpp_smoke():
     from test_pipeline22 import make_pipe
 
@@ -329,6 +337,7 @@ def test_pipeline22_dpmpp_smoke():
     assert a.shape == (64, 64, 3) and np.isfinite(a).all()
 
 
+@pytest.mark.slow
 def test_pipeline20_dpmpp_smoke():
     from test_pipeline20 import StubHFTok, tiny_config20
     from kandinsky2_tpu.pipelines.kandinsky2_0 import Kandinsky2

@@ -36,6 +36,9 @@ B, STEPS, GS = 1, 6, 4.0
 LAT = 8
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture
 def _cpu(monkeypatch):
     """Remap the reference samplers' hardcoded cuda targets to cpu."""

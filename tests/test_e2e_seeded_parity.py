@@ -3,6 +3,7 @@ stack — CFG model_fn → respaced ancestral sampler (dynamic threshold +
 clamp(-2,2) denoised_fn) → MoVQ decode — against the torch reference with the
 SAME converted weights, conditioning, initial latent and per-step noise."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -22,6 +23,9 @@ refae = ref_vqgan("autoencoder")
 
 nchw = lambda x: np.transpose(np.asarray(x), (0, 3, 1, 2))
 nhwc = lambda x: np.transpose(np.asarray(x), (0, 2, 3, 1))
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_seeded_decoder_stack_parity(monkeypatch):

@@ -6,6 +6,7 @@ decode — against the torch reference with the SAME converted weights,
 conditioning, initial latent and per-step noise.
 Mirrors tests/test_e2e_seeded_parity.py (2.1)."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -25,6 +26,9 @@ refae = ref_vqgan("autoencoder")
 
 nchw = lambda x: np.transpose(np.asarray(x), (0, 3, 1, 2))
 nhwc = lambda x: np.transpose(np.asarray(x), (0, 2, 3, 1))
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_seeded_decoder20_stack_parity(monkeypatch):

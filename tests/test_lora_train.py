@@ -17,6 +17,9 @@ from kandinsky2_tpu.train.train_lora import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def _dezero(params, rng):
     """Random-init pipes keep the reference's zero_module output convs at
     exactly 0, which makes the whole UNet output constant and every

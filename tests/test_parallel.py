@@ -2,6 +2,7 @@
 TP+DP training dryrun, and tensor-parallel sharded inference of the whole
 2.1 pipeline."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -61,12 +62,14 @@ def test_sharding_coverage_guard_raises():
         sp(params, mesh, min_size=64, min_candidate_frac=0.5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_serving_over_sharded_pipeline():
     """The serving runtime composes with TP sharding: distinct prompts
     coalesce into one program whose params are sharded over the mesh."""
@@ -95,6 +98,7 @@ def test_serving_over_sharded_pipeline():
         server.stop()
 
 
+@pytest.mark.slow
 def test_sharded_inference_pipeline():
     """Full 2.1 text2img with TP-sharded params over the 8-device mesh."""
     from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config

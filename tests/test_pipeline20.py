@@ -103,6 +103,7 @@ def test_text2img_20(pipe20, sampler):
     assert np.isfinite(arr.astype(np.float32)).all()
 
 
+@pytest.mark.slow
 def test_img2img_20(pipe20):
     src = Image.fromarray(
         (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
@@ -114,6 +115,7 @@ def test_img2img_20(pipe20):
     assert np.asarray(imgs[0]).shape == (512, 512, 3)
 
 
+@pytest.mark.slow
 def test_inpainting_20():
     p = Kandinsky2(
         config=tiny_config20(), tokenizer1=StubHFTok(), tokenizer2=StubHFTok(),

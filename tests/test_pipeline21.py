@@ -82,6 +82,7 @@ def pipe():
     return p
 
 
+@pytest.mark.slow
 def test_text2img_hires_staged(pipe):
     """Two-stage hires: low-res full ladder -> upsample -> truncated refine;
     distinct prompts keep their own stage-1 image through the handoff."""
@@ -96,6 +97,7 @@ def test_text2img_hires_staged(pipe):
         assert a.shape == (128, 128, 3) and np.isfinite(a).all()
 
 
+@pytest.mark.slow
 def test_img2img_per_batch_init_images(pipe):
     src_a = Image.fromarray(
         (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
@@ -155,6 +157,7 @@ def test_text2img_prompt_list(pipe):
     assert not np.allclose(a, b), "distinct prompts must give distinct rows"
 
 
+@pytest.mark.slow
 def test_text2img_nonsquare_and_negative(pipe):
     imgs = pipe.generate_text2img(
         "a cat", num_steps=4, batch_size=2, h=96, w=64,
@@ -164,6 +167,7 @@ def test_text2img_nonsquare_and_negative(pipe):
     assert len(imgs) == 2 and np.asarray(imgs[0]).shape == (96, 64, 3)
 
 
+@pytest.mark.slow
 def test_img2img(pipe):
     src = Image.fromarray(
         (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
@@ -175,6 +179,7 @@ def test_img2img(pipe):
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_mix_images(pipe):
     src = Image.fromarray(
         (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
@@ -186,6 +191,7 @@ def test_mix_images(pipe):
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_inpainting(inpaint_pipe):
     src = Image.fromarray(
         (np.random.RandomState(2).rand(64, 64, 3) * 255).astype(np.uint8)
@@ -199,6 +205,7 @@ def test_inpainting(inpaint_pipe):
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_text2img_prior_ddim(pipe):
     """Prior 'ddimN' respacing through the full pipeline
     (prior.py:318-326 path)."""

@@ -81,6 +81,7 @@ def test_mix_images_22(pipe):
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_img2img_22():
     pipe = make_pipe("img2img")
     src = Image.fromarray(
@@ -92,6 +93,7 @@ def test_img2img_22():
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_inpainting_22():
     pipe = make_pipe("inpainting")
     src = Image.fromarray(
@@ -105,6 +107,7 @@ def test_inpainting_22():
     assert np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_controlnet_22():
     pipe = make_pipe("controlnet")
     hint = np.random.RandomState(3).rand(64, 64, 3).astype(np.float32)
@@ -155,6 +158,7 @@ def test_img2img_22_strength_guard(pipe):
         )
 
 
+@pytest.mark.slow
 def test_text2img_22_hires_staged(pipe):
     """Two-stage hires on 2.2: distinct prompts keep their own stage-1
     image through the handoff; the prior runs once (embs reused)."""
@@ -246,6 +250,7 @@ def test_prior_emb2emb_qsample_start(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_controlnet_img2img_22():
     """Notebook flow (kandinsky2_2_controlnet.ipynb): hint derived from the
     init photo, decoder starts from the re-noised init latent, prior embeds

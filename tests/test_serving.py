@@ -5,6 +5,7 @@ keys coalesce into ONE batched pipeline invocation — the pipelines accept a
 list of prompts, so different users share a compiled program.
 """
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -24,6 +25,7 @@ def make_pipe(task_type="text2img"):
     return pipe
 
 
+@pytest.mark.slow
 def test_server_end_to_end():
     pipe = make_pipe()
     server = GenerationServer(pipe, max_batch=2)
@@ -42,6 +44,7 @@ def test_server_end_to_end():
         server.stop()
 
 
+@pytest.mark.slow
 def test_distinct_prompts_coalesce_into_one_call():
     pipe = make_pipe()
     calls = []
@@ -69,6 +72,7 @@ def test_distinct_prompts_coalesce_into_one_call():
         assert len(imgs) == 1 and np.asarray(imgs[0]).shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_partial_batch_pads_to_bucket():
     pipe = make_pipe()
     sizes = []
@@ -92,6 +96,7 @@ def test_partial_batch_pads_to_bucket():
     assert sizes == [4]
 
 
+@pytest.mark.slow
 def test_img2img_requests_coalesce_with_per_row_images():
     """VERDICT round-2 weak-item 6: img2img batches too — distinct users'
     init images ride per-batch-row; the key carries image shape/mode only."""

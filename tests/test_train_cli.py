@@ -1,6 +1,7 @@
 """End-to-end smoke of the decoder training CLI: tiny YAML + generated CSV
 image dataset -> a few optimizer steps -> resumable checkpoint on disk."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -8,6 +9,9 @@ import sys
 import numpy as np
 import yaml
 from PIL import Image
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_train_cli_smoke(tmp_path):

@@ -21,6 +21,9 @@ from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
 from kandinsky2_tpu.pipelines import Kandinsky2_1
 
 
+pytestmark = pytest.mark.slow
+
+
 def _randomize_zero_kernels(params, key):
     """Flax zero-inits the reference's zero_module convs (proj_out,
     out_layers.3, out.2), which makes a random-init UNet's output constant —

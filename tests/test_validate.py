@@ -2,6 +2,7 @@
 offline it must run the full post-fetch ladder on an injected pipeline and
 stop cleanly at fetch when the network is absent."""
 
+import pytest
 import json
 import os
 
@@ -24,6 +25,7 @@ def tiny_builder():
     return pipe
 
 
+@pytest.mark.slow
 def test_validate_full_ladder_offline(tmp_path):
     """Bootstrap run saves references; second run scores PSNR=inf/SSIM=1
     against them (same seed => identical outputs)."""
