@@ -362,6 +362,7 @@ class AutoencoderKL(nn.Module):
     resolution: int = 256
     out_ch: int = 3
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     def setup(self):
         self.encoder = Encoder(
@@ -374,7 +375,8 @@ class AutoencoderKL(nn.Module):
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
             num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
-            spatial_norm=False, dtype=self.dtype, name="decoder",
+            spatial_norm=False, dtype=self.dtype, sp_axis=self.sp_axis,
+            name="decoder",
         )
         self.quant_conv = dense(2 * self.embed_dim, "quant_conv", self.dtype)
         self.post_quant_conv = dense(self.z_channels, "post_quant_conv", self.dtype)
@@ -411,6 +413,7 @@ class VQModelInterface(nn.Module):
     resolution: int = 256
     out_ch: int = 3
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     def setup(self):
         self.encoder = Encoder(
@@ -423,7 +426,8 @@ class VQModelInterface(nn.Module):
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
             num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
-            spatial_norm=False, dtype=self.dtype, name="decoder",
+            spatial_norm=False, dtype=self.dtype, sp_axis=self.sp_axis,
+            name="decoder",
         )
         self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, name="quantize")
         self.quant_conv = dense(self.embed_dim, "quant_conv", self.dtype)

@@ -739,3 +739,30 @@ class Kandinsky2_2:
             ),
         )
         return fn(self.params["movq"], image)
+
+    def decode_latents(self, latents, sp_mesh=None, axis="sp"):
+        """MoVQ-decode raw decoder latents (B, h/8, w/8, 4) to uint8 PIL
+        images.  With ``sp_mesh`` the decode runs spatially parallel —
+        image rows sharded over the mesh axis with halo-exchange convs
+        (parallel/spatial.py) — for resolutions whose decoder activations
+        exceed one chip's HBM.  Numerically the single-device decoder to
+        ~1e-4 (tests/test_spatial_parallel.py)."""
+        lat = jnp.asarray(latents, jnp.float32).astype(self.dtype)
+        if sp_mesh is None:
+            fn = self._jit(
+                ("movq_dec22", tuple(lat.shape)),
+                lambda: jax.jit(
+                    lambda p, z: self.movq.apply(
+                        {"params": p}, z, method=self.movq.decode
+                    ).astype(jnp.float32)
+                ),
+            )
+            img = fn(self.params["movq"], lat)
+        else:
+            from ..parallel.spatial import spatial_decode
+
+            img = spatial_decode(
+                self.movq, self.params["movq"], lat, sp_mesh, axis=axis,
+                method="decode",
+            ).astype(jnp.float32)
+        return process_images(np.asarray(img))

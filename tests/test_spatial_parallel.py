@@ -91,3 +91,43 @@ def test_spatial_decode_rejects_indivisible_rows(movq_and_params):
     codes = jnp.zeros((1, 12, 16), jnp.int32)
     with pytest.raises(ValueError, match="divide"):
         spatial_decode(movq, params, codes, sp_mesh(8), axis="sp")
+
+
+def test_spatial_decode_kl_vae_matches_single_device():
+    """The 2.0 family's KL-VAE shares the Decoder: SP path must match too."""
+    from kandinsky2_tpu.models.movq import AutoencoderKL
+
+    ae = AutoencoderKL(z_channels=4, embed_dim=4, ch=32, ch_mult=(1, 2, 2),
+                       num_res_blocks=1, attn_resolutions=(16,), resolution=64)
+    params = ae.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))["params"]
+    z = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 4))
+
+    ref = ae.apply({"params": params}, z, method=AutoencoderKL.decode)
+    got = spatial_decode(ae, params, z, sp_mesh(8), axis="sp", method="decode")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_pipeline_decode_latents_sp_matches_plain():
+    """Kandinsky2_1.decode_latents: the sp_mesh path returns the same images
+    as the single-device path (same post-processing, same scale)."""
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    lat = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(6), (1, 16, 16, 4))
+    )
+    plain = p.decode_latents(lat)
+    sp = p.decode_latents(lat, sp_mesh=sp_mesh(8))
+    assert len(plain) == len(sp) == 1
+    a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
+    assert a.shape == b.shape == (128, 128, 3)
+    # uint8 quantization absorbs the ~1e-4 float drift almost everywhere
+    assert np.mean(np.abs(a - b) > 1) < 0.01
