@@ -130,14 +130,25 @@ class AttnBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Asymmetric-pad strided conv downsample (vqgan_blocks.py:109-126)."""
+    """Asymmetric-pad strided conv downsample (vqgan_blocks.py:109-126).
+
+    Under spatial parallelism the bottom-only height pad becomes a one-row
+    halo from the device below (zeros at the global bottom edge); local rows
+    must be even so output shards stay equal."""
 
     channels: int
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        if self.sp_axis is None:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        else:
+            from ..parallel.spatial import halo_below_rows
+
+            x = halo_below_rows(x, self.sp_axis)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
         return conv2d(self.channels, "conv", stride=2, padding=0, dtype=self.dtype)(x)
 
 
@@ -166,38 +177,49 @@ class Encoder(nn.Module):
     z_channels: int = 4
     double_z: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         num_res = len(self.ch_mult)
         in_ch_mult = (1,) + tuple(self.ch_mult)
-        h = conv2d(self.ch, "conv_in", dtype=self.dtype)(x)
+        h = _conv3(self.ch, "conv_in", self.dtype, self.sp_axis)(x)
         curr_res = self.resolution
         for i_level in range(num_res):
             block_in = self.ch * in_ch_mult[i_level]
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
                 h = ResnetBlock(
-                    block_in, block_out, dtype=self.dtype,
+                    block_in, block_out, dtype=self.dtype, sp_axis=self.sp_axis,
                     name=f"down.{i_level}.block.{i_block}",
                 )(h)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
                     h = AttnBlock(
-                        dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}"
+                        dtype=self.dtype, sp_axis=self.sp_axis,
+                        name=f"down.{i_level}.attn.{i_block}",
                     )(h)
             if i_level != num_res - 1:
                 h = Downsample(
-                    block_in, dtype=self.dtype, name=f"down.{i_level}.downsample"
+                    block_in, dtype=self.dtype, sp_axis=self.sp_axis,
+                    name=f"down.{i_level}.downsample",
                 )(h)
                 curr_res //= 2
-        h = ResnetBlock(block_in, block_in, dtype=self.dtype, name="mid.block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid.attn_1")(h)
-        h = ResnetBlock(block_in, block_in, dtype=self.dtype, name="mid.block_2")(h)
-        h = GroupNorm32(num_groups=32, eps=1e-6, name="norm_out")(h)
+        h = ResnetBlock(
+            block_in, block_in, dtype=self.dtype, sp_axis=self.sp_axis,
+            name="mid.block_1",
+        )(h)
+        h = AttnBlock(dtype=self.dtype, sp_axis=self.sp_axis, name="mid.attn_1")(h)
+        h = ResnetBlock(
+            block_in, block_in, dtype=self.dtype, sp_axis=self.sp_axis,
+            name="mid.block_2",
+        )(h)
+        h = GroupNorm32(
+            num_groups=32, eps=1e-6, axis_name=self.sp_axis, name="norm_out"
+        )(h)
         h = swish(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        return conv2d(out_ch, "conv_out", dtype=self.dtype)(h)
+        return _conv3(out_ch, "conv_out", self.dtype, self.sp_axis)(h)
 
 
 class Decoder(nn.Module):
@@ -306,9 +328,8 @@ class MOVQ(nn.Module):
     resolution: int = 256
     out_ch: int = 3
     dtype: Dtype = jnp.float32
-    # Mesh axis name for row-sharded (spatially parallel) decoding; see
-    # parallel/spatial.py.  Only the decoder is SP-aware: decode activations
-    # at 8x the latent resolution dominate memory, encode does not.
+    # Mesh axis name for row-sharded (spatially parallel) encode/decode;
+    # see parallel/spatial.py.
     sp_axis: Optional[str] = None
 
     def setup(self):
@@ -316,7 +337,7 @@ class MOVQ(nn.Module):
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
             z_channels=self.z_channels, double_z=False, dtype=self.dtype,
-            name="encoder",
+            sp_axis=self.sp_axis, name="encoder",
         )
         self.decoder = Decoder(
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
@@ -369,7 +390,7 @@ class AutoencoderKL(nn.Module):
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
             z_channels=self.z_channels, double_z=True, dtype=self.dtype,
-            name="encoder",
+            sp_axis=self.sp_axis, name="encoder",
         )
         self.decoder = Decoder(
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
@@ -420,7 +441,7 @@ class VQModelInterface(nn.Module):
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
             z_channels=self.z_channels, double_z=False, dtype=self.dtype,
-            name="encoder",
+            sp_axis=self.sp_axis, name="encoder",
         )
         self.decoder = Decoder(
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,

@@ -44,6 +44,16 @@ from .layers import (
 Dtype = Any
 
 
+def _c3(features, name, dtype, sp_axis=None, zero_init=False):
+    """3x3 conv; halo-exchange variant when image rows are device-sharded
+    (parallel/spatial.py).  Identical params either way."""
+    if sp_axis is None:
+        return conv2d(features, name, dtype=dtype, zero_init=zero_init)
+    from ..parallel.spatial import sp_conv3x3
+
+    return sp_conv3x3(features, name, sp_axis, dtype=dtype, zero_init=zero_init)
+
+
 class ResBlock(nn.Module):
     """Residual block with FiLM scale-shift GroupNorm (unet.py:110-220)."""
 
@@ -53,17 +63,20 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-        h = GroupNorm32(swish=1.0, name="in_layers.0")(x)
+        h = GroupNorm32(swish=1.0, axis_name=self.sp_axis, name="in_layers.0")(x)
         if self.up:
+            # nearest 2x doubles rows inside each shard: alignment preserved
             h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
         elif self.down:
+            # 2x2 window never crosses an even row-shard boundary
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = conv2d(self.out_channels, "in_layers.2", dtype=self.dtype)(h)
+        h = _c3(self.out_channels, "in_layers.2", self.dtype, self.sp_axis)(h)
 
         emb_dim = (
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
@@ -73,13 +86,16 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(swish=0.0, name="out_layers.0")(h) * (1 + scale) + shift
+            h = GroupNorm32(
+                swish=0.0, axis_name=self.sp_axis, name="out_layers.0"
+            )(h) * (1 + scale) + shift
             h = jax.nn.silu(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(swish=1.0, name="out_layers.0")(h)
-        h = conv2d(
-            self.out_channels, "out_layers.3", dtype=self.dtype, zero_init=True
+            h = GroupNorm32(swish=1.0, axis_name=self.sp_axis, name="out_layers.0")(h)
+        h = _c3(
+            self.out_channels, "out_layers.3", self.dtype, self.sp_axis,
+            zero_init=True,
         )(h)
 
         if self.out_channels != self.channels:
@@ -97,16 +113,23 @@ class AttentionBlock(nn.Module):
     num_heads: int
     use_encoder_kv: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, encoder_out: Optional[jnp.ndarray] = None):
         B, H, W, C = x.shape
         heads = self.num_heads
         ch = C // heads
-        h = GroupNorm32(swish=0.0, name="norm")(x).reshape(B, H * W, C)
+        h = GroupNorm32(swish=0.0, axis_name=self.sp_axis, name="norm")(x)
+        h = h.reshape(B, H * W, C)
         qkv = dense(3 * C, "qkv", self.dtype)(h)
         qkv = qkv.reshape(B, H * W, heads, 3 * ch)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.sp_axis is not None:
+            # exact softmax over the full image: local query rows attend to
+            # all-gathered K/V (row order == device order on the axis)
+            k = jax.lax.all_gather(k, self.sp_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.sp_axis, axis=1, tiled=True)
         if self.use_encoder_kv:
             ekv = dense(2 * C, "encoder_kv", self.dtype)(encoder_out)
             ekv = ekv.reshape(B, encoder_out.shape[1], heads, 2 * ch)
@@ -124,9 +147,16 @@ class Downsample(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.sp_axis is not None:
+            from ..parallel.spatial import sp_conv3x3_down
+
+            return sp_conv3x3_down(
+                self.out_channels, "op", self.sp_axis, dtype=self.dtype
+            )(x)
         return conv2d(self.out_channels, "op", stride=2, dtype=self.dtype)(x)
 
 
@@ -135,10 +165,11 @@ class Upsample(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        return conv2d(self.out_channels, "conv", dtype=self.dtype)(
+        return _c3(self.out_channels, "conv", self.dtype, self.sp_axis)(
             upsample_nearest_2x(x)
         )
 
@@ -226,6 +257,9 @@ class UNetModel(nn.Module):
     resblock_updown: bool = True
     use_encoder_kv: bool = False
     dtype: Dtype = jnp.float32
+    # Mesh axis for spatially-parallel (row-sharded) execution inside
+    # shard_map; see parallel/spatial.py.  None = single-device layout.
+    sp_axis: Optional[str] = None
 
     def _heads(self, ch: int, upsample: bool) -> int:
         if self.num_head_channels != -1:
@@ -237,17 +271,32 @@ class UNetModel(nn.Module):
     def _make(self, spec, name: str, upsample_branch: bool):
         kind, cin, cout = spec
         dt = self.dtype
+        sp = self.sp_axis
         if kind == "conv_in":
-            return conv2d(cout, name, dtype=dt)
+            if sp is None:
+                return conv2d(cout, name, dtype=dt)
+            # setup-created module: must be a real nn.Conv (flax cannot see
+            # modules hidden in closures); the halo rows are prepended by
+            # _apply at call time
+            return nn.Conv(
+                cout, kernel_size=(3, 3), padding=((0, 0), (1, 1)), dtype=dt,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.lecun_normal(), name=name,
+            )
         if kind == "res":
-            return ResBlock(cin, cout, self.use_scale_shift_norm, dtype=dt, name=name)
+            return ResBlock(
+                cin, cout, self.use_scale_shift_norm, dtype=dt, sp_axis=sp,
+                name=name,
+            )
         if kind == "res_down":
             return ResBlock(
-                cin, cout, self.use_scale_shift_norm, down=True, dtype=dt, name=name
+                cin, cout, self.use_scale_shift_norm, down=True, dtype=dt,
+                sp_axis=sp, name=name,
             )
         if kind == "res_up":
             return ResBlock(
-                cin, cout, self.use_scale_shift_norm, up=True, dtype=dt, name=name
+                cin, cout, self.use_scale_shift_norm, up=True, dtype=dt,
+                sp_axis=sp, name=name,
             )
         if kind == "attn":
             return AttentionBlock(
@@ -255,12 +304,13 @@ class UNetModel(nn.Module):
                 self._heads(cout, upsample_branch),
                 self.use_encoder_kv,
                 dtype=dt,
+                sp_axis=sp,
                 name=name,
             )
         if kind == "down":
-            return Downsample(cout, dtype=dt, name=name)
+            return Downsample(cout, dtype=dt, sp_axis=sp, name=name)
         if kind == "up":
-            return Upsample(cout, dtype=dt, name=name)
+            return Upsample(cout, dtype=dt, sp_axis=sp, name=name)
         raise ValueError(kind)
 
     def setup(self):
@@ -298,19 +348,32 @@ class UNetModel(nn.Module):
         )
         # The output head stays fp32 (the reference never converts self.out to
         # fp16, unet.py:559-572); sampler math downstream is fp32 anyway.
-        self.out_norm = GroupNorm32(swish=1.0, name="out.0")
-        self.out_conv = conv2d(
-            self.out_channels, "out.2", dtype=jnp.float32, zero_init=True
+        self.out_norm = GroupNorm32(
+            swish=1.0, axis_name=self.sp_axis, name="out.0"
         )
+        if self.sp_axis is None:
+            self.out_conv = conv2d(
+                self.out_channels, "out.2", dtype=jnp.float32, zero_init=True
+            )
+        else:
+            self.out_conv = nn.Conv(
+                self.out_channels, kernel_size=(3, 3),
+                padding=((0, 0), (1, 1)), dtype=jnp.float32,
+                param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                name="out.2",
+            )
         self.time_embed_0 = dense(self.model_channels * 4, "time_embed.0", jnp.float32)
         self.time_embed_2 = dense(self.model_channels * 4, "time_embed.2", jnp.float32)
 
-    @staticmethod
-    def _apply(layer, h, emb, encoder_out):
+    def _apply(self, layer, h, emb, encoder_out):
         if isinstance(layer, ResBlock):
             return layer(h, emb)
         if isinstance(layer, AttentionBlock):
             return layer(h, encoder_out)
+        if self.sp_axis is not None and isinstance(layer, nn.Conv):
+            from ..parallel.spatial import halo_exchange_rows
+
+            return layer(halo_exchange_rows(h, self.sp_axis))
         return layer(h)
 
     def run_torso(self, x, emb, encoder_out=None):
@@ -328,6 +391,10 @@ class UNetModel(nn.Module):
                 h = self._apply(layer, h, emb, encoder_out)
         h = h.astype(jnp.float32)
         h = self.out_norm(h)
+        if self.sp_axis is not None:
+            from ..parallel.spatial import halo_exchange_rows
+
+            h = halo_exchange_rows(h, self.sp_axis)
         return self.out_conv(h)
 
     def run_torso_cached(self, x, emb, cache, refresh, encoder_out=None,
@@ -374,8 +441,12 @@ class UNetModel(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for layer in layers:
                 h = self._apply(layer, h, emb, encoder_out)
-        h = h.astype(jnp.float32)
-        return self.out_conv(self.out_norm(h)), new_cache
+        h = self.out_norm(h.astype(jnp.float32))
+        if self.sp_axis is not None:
+            from ..parallel.spatial import halo_exchange_rows
+
+            h = halo_exchange_rows(h, self.sp_axis)
+        return self.out_conv(h), new_cache
 
     def time_embedding(self, timesteps):
         temb = timestep_embedding(timesteps, self.model_channels)

@@ -5,4 +5,10 @@ from .mesh import (
     replicate,
     shard_params,
 )
-from .spatial import halo_exchange_rows, sp_attention_rows, spatial_decode
+from .spatial import (
+    halo_below_rows,
+    halo_exchange_rows,
+    sp_attention_rows,
+    spatial_decode,
+    spatial_encode,
+)

@@ -59,16 +59,31 @@ def halo_exchange_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([from_above, x, from_below], axis=1)
 
 
+def halo_below_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """One-sided halo for the codecs' asymmetric-pad stride-2 downsample:
+    append the next device's first row (the last device gets zeros — exactly
+    the reference's bottom-only zero pad, vqgan_blocks.py:109-126).
+    (B, Hl, W, C) -> (B, Hl+1, W, C)."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    up = [(i + 1, i) for i in range(n - 1)]
+    from_below = jax.lax.ppermute(x[:, :1], axis_name, up)
+    return jnp.concatenate([x, from_below], axis=1)
+
+
 def sp_conv3x3(
     features: int,
     name: str,
     axis_name: str,
     dtype=jnp.float32,
+    zero_init: bool = False,
 ):
     """3x3 stride-1 padding-1 conv over row-sharded NHWC activations.
 
     Creates the identical ``nn.Conv`` parameters as models.layers.conv2d
-    (same name, same kernel shape) so one weight tree serves both layouts.
+    (same name, same kernel shape, same init) so one weight tree serves both
+    layouts.
     """
     conv = nn.Conv(
         features,
@@ -77,10 +92,46 @@ def sp_conv3x3(
         padding=((0, 0), (1, 1)),  # height handled by the halo rows
         dtype=dtype,
         param_dtype=jnp.float32,
-        kernel_init=nn.initializers.lecun_normal(),
+        kernel_init=nn.initializers.zeros
+        if zero_init
+        else nn.initializers.lecun_normal(),
         name=name,
     )
     return lambda x: conv(halo_exchange_rows(x, axis_name))
+
+
+def sp_conv3x3_down(
+    features: int,
+    name: str,
+    axis_name: str,
+    dtype=jnp.float32,
+):
+    """3x3 stride-2 symmetric-padding-1 downsample conv over row-sharded
+    activations.  With even global H the bottom pad row is never read
+    (output row j touches input rows 2j-1..2j+1, j<H/2), so only a TOP halo
+    row is needed: device 0 receives zeros = the top zero pad.  Local rows
+    must be even so output shards stay equal."""
+    conv = nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        strides=(2, 2),
+        padding=((0, 0), (1, 1)),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.lecun_normal(),
+        name=name,
+    )
+
+    def run(x):
+        n = jax.lax.axis_size(axis_name)
+        if n == 1:
+            top = jnp.zeros_like(x[:, :1])
+        else:
+            down = [(i, i + 1) for i in range(n - 1)]
+            top = jax.lax.ppermute(x[:, -1:], axis_name, down)
+        return conv(jnp.concatenate([top, x], axis=1))
+
+    return run
 
 
 def sp_attention_rows(q, k, v, axis_name: str):
@@ -138,3 +189,42 @@ def spatial_decode(
         check_vma=False,
     )
     return f(params, codes_or_quant)
+
+
+def spatial_encode(
+    codec: nn.Module,
+    params,
+    image: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = SPATIAL_AXIS,
+    method: str = "encode",
+):
+    """Run the codec's ``encode`` with image rows sharded over ``mesh[axis]``.
+
+    The stride-2 downsamples take a one-row bottom halo per level
+    (`halo_below_rows`), so the per-device rows must stay even through every
+    level: H must divide by ``axis_size * 2**(levels-1)``.  Returns the
+    row-sharded latent (or the (mean, logvar) tuple for the KL codec).
+    """
+    n = mesh.shape[axis]
+    h = image.shape[1]
+    levels = len(codec.ch_mult)
+    need = n * 2 ** (levels - 1)
+    if h % need != 0:
+        raise ValueError(
+            f"image height {h} must divide axis_size*2^(levels-1) = {need} "
+            f"so every downsample level keeps equal even row shards"
+        )
+    sp = codec.clone(sp_axis=axis, parent=None)
+
+    def run(p, x):
+        return sp.apply({"params": p}, x, method=getattr(type(sp), method))
+
+    f = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    return f(params, image)

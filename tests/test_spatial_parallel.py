@@ -59,6 +59,7 @@ def test_halo_exchange_matches_zero_pad():
         np.testing.assert_array_equal(block, ref[:, d * 4:d * 4 + 6])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 8])
 def test_spatial_decode_code_matches_single_device(movq_and_params, n):
     movq, params = movq_and_params
@@ -72,6 +73,7 @@ def test_spatial_decode_code_matches_single_device(movq_and_params, n):
     )
 
 
+@pytest.mark.slow
 def test_spatial_decode_quant_matches_single_device(movq_and_params):
     movq, params = movq_and_params
     quant = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
@@ -93,6 +95,7 @@ def test_spatial_decode_rejects_indivisible_rows(movq_and_params):
         spatial_decode(movq, params, codes, sp_mesh(8), axis="sp")
 
 
+@pytest.mark.slow
 def test_spatial_decode_kl_vae_matches_single_device():
     """The 2.0 family's KL-VAE shares the Decoder: SP path must match too."""
     from kandinsky2_tpu.models.movq import AutoencoderKL
@@ -131,3 +134,66 @@ def test_pipeline_decode_latents_sp_matches_plain():
     assert a.shape == b.shape == (128, 128, 3)
     # uint8 quantization absorbs the ~1e-4 float drift almost everywhere
     assert np.mean(np.abs(a - b) > 1) < 0.01
+
+
+@pytest.mark.slow
+def test_spatial_encode_matches_single_device(movq_and_params):
+    """Row-sharded encode (one-sided halos through the asymmetric-pad
+    stride-2 downsamples) == the single-device encoder."""
+    from kandinsky2_tpu.parallel.spatial import spatial_encode
+
+    movq, params = movq_and_params
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64, 3))
+
+    ref = movq.apply({"params": params}, x, method=MOVQ.encode)
+    got = spatial_encode(movq, params, x, sp_mesh(4), axis="sp")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_spatial_encode_rejects_odd_shards(movq_and_params):
+    movq, params = movq_and_params
+    x = jnp.zeros((1, 72, 64, 3))  # 72 / 8 = 9 rows: odd at the first level
+    from kandinsky2_tpu.parallel.spatial import spatial_encode
+
+    with pytest.raises(ValueError, match="divide"):
+        spatial_encode(movq, params, x, sp_mesh(8), axis="sp")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("updown", [True, False])
+def test_spatial_unet_matches_single_device(updown):
+    """Row-sharded UNet forward == single-device forward: halo convs through
+    conv_in/ResBlocks/Downsample/out head, psum'd GroupNorms, FiLM, and
+    gathered-KV attention with encoder tokens concatenated."""
+    from jax.sharding import PartitionSpec as P
+    from kandinsky2_tpu.models.unet import UNetModel
+
+    unet = UNetModel(
+        in_channels=4, model_channels=32, out_channels=8, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=1,
+        num_head_channels=16, resblock_updown=updown, use_encoder_kv=True,
+    )
+    B, H = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, H, H, 4))
+    t = jnp.asarray([3.0, 7.0])
+    enc = jax.random.normal(jax.random.PRNGKey(9), (B, 5, 32))
+    params = unet.init(jax.random.PRNGKey(10), x, t, enc)["params"]
+    ref = unet.apply({"params": params}, x, t, enc)
+
+    mesh = sp_mesh(4)
+    sp = unet.clone(sp_axis="sp", parent=None)
+    f = jax.shard_map(
+        lambda p, xx, tt, ee: sp.apply({"params": p}, xx, tt, ee),
+        mesh=mesh,
+        in_specs=(P(), P(None, "sp", None, None), P(), P()),
+        out_specs=P(None, "sp", None, None),
+        check_vma=False,
+    )
+    got = f(params, x, t, enc)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
