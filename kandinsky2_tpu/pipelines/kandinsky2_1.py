@@ -360,10 +360,17 @@ class Kandinsky2_1:
 
     def _build_latent_fn(
         self, *, sampler, num_steps, new_h, new_w, batch_size, init_step,
-        inpainting, turbo_interval=1,
+        inpainting, turbo_interval=1, sp_mesh=None,
     ):
         """One jitted program: UNet conditioning encode -> scanned denoise ->
         MoVQ decode.
+
+        With ``sp_mesh`` the whole program runs spatially parallel inside
+        shard_map: latent/image ROWS shard over the mesh's "sp" axis
+        (conditioning is replicated compute), so one generation's
+        activations spread across all devices — the high-resolution path
+        past one chip's HBM.  Deterministic samplers match the single-device
+        trajectory; p_sampler folds the device index into its noise stream.
 
         ``turbo_interval`` > 1 enables DeepCache-style sampling: the UNet's
         deep branch (everything below level 0) is recomputed every
@@ -398,12 +405,30 @@ class Kandinsky2_1:
 
             cache_ds, cache_ch = deep_cache_spec(self.unet)
 
+        if sp_mesh is None:
+            unet, movq = self.unet, self.movq
+        else:
+            sp_n = sp_mesh.shape["sp"]
+            levels = len(self.unet.channel_mult)
+            need = sp_n * 2 ** (levels - 1)
+            if new_h % need != 0:
+                raise ValueError(
+                    f"latent height {new_h} must divide sp_axis*2^(levels-1)"
+                    f" = {need} for row-sharded generation"
+                )
+            unet = self.unet.clone(sp_axis="sp", parent=None)
+            movq = self.movq.clone(sp_axis="sp", parent=None)
+
         def fn(params, full_emb, pooled_emb, image_emb, guidance_scale, rng,
                x_T, inpaint_image, inpaint_mask):
+            if sp_mesh is not None and sampler == "p_sampler":
+                # independent ancestral noise per row shard (the
+                # deterministic samplers need no per-device stream)
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("sp"))
             # conditioning once (2B batch: [cond; uncond])
-            xf_proj, xf_out = self.unet.apply(
+            xf_proj, xf_out = unet.apply(
                 {"params": params["unet"]}, full_emb, pooled_emb, image_emb,
-                method=self.unet.encode_conditioning,
+                method=type(unet).encode_conditioning,
             )
 
             def unet_in(x, t_model):
@@ -426,25 +451,27 @@ class Kandinsky2_1:
                 return eps_g
 
             def model_fn(x, t_model):
-                out = self.unet.apply(
+                out = unet.apply(
                     {"params": params["unet"]}, *unet_in(x, t_model),
-                    method=self.unet.denoise,
+                    method=type(unet).denoise,
                 )
                 return mix(out)
 
             def model_fn_turbo(x, t_model, cache, pos):
                 refresh = (pos % turbo_interval) == 0
-                out, cache = self.unet.apply(
+                out, cache = unet.apply(
                     {"params": params["unet"]}, *unet_in(x, t_model),
-                    cache, refresh, method=self.unet.denoise_cached,
+                    cache, refresh, method=type(unet).denoise_cached,
                 )
                 return mix(out), cache
 
             model_state = None
             if turbo:
+                rows = new_h // cache_ds
+                if sp_mesh is not None:
+                    rows //= sp_mesh.shape["sp"]
                 model_state = jnp.zeros(
-                    (2 * batch_size, new_h // cache_ds, new_w // cache_ds,
-                     cache_ch),
+                    (2 * batch_size, rows, new_w // cache_ds, cache_ch),
                     self.dtype,
                 )
 
@@ -478,33 +505,48 @@ class Kandinsky2_1:
                     "Only p_sampler, ddim_sampler, plms_sampler, "
                     "dpmpp_sampler and dpmpp_karras_sampler are available"
                 )
-            img = self.movq.apply(
+            img = movq.apply(
                 {"params": params["movq"]},
                 (samples / self.scale).astype(self.dtype),
-                method=self.movq.decode,
+                method=type(movq).decode,
             )
             return img.astype(jnp.float32)
 
-        return jax.jit(fn)
+        if sp_mesh is None:
+            return jax.jit(fn)
+
+        from jax.sharding import PartitionSpec as P
+
+        row = P(None, "sp", None, None)
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=sp_mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), row, row, row),
+            out_specs=row,
+            check_vma=False,
+        ))
 
     def generate_img(
         self, prompt, img_prompt, batch_size=1, guidance_scale=7,
         init_step=None, noise=None, init_img=None, img_mask=None,
         h=512, w=512, sampler="ddim_sampler", num_steps=50,
-        turbo_interval=1,
+        turbo_interval=1, sp_mesh=None,
     ):
         """Core decoder loop + MoVQ decode (kandinsky2_1_model.py:183-292).
-        ``img_prompt`` is the CFG-doubled [cond; uncond] image embedding."""
+        ``img_prompt`` is the CFG-doubled [cond; uncond] image embedding.
+        ``sp_mesh``: run the denoise+decode spatially parallel (rows sharded
+        over the mesh's "sp" axis) — see _build_latent_fn."""
         new_h, new_w = get_new_h_w(h, w)
         inpainting = self.task_type == "inpainting"
         full_emb, pooled_emb = self.encode_text(prompt, batch_size)
         fn = self._jit(
             ("gen", sampler, num_steps, new_h, new_w, batch_size, init_step,
-             inpainting, turbo_interval),
+             inpainting, turbo_interval,
+             None if sp_mesh is None else sp_mesh.shape["sp"]),
             lambda: self._build_latent_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step, inpainting=inpainting,
-                turbo_interval=turbo_interval,
+                turbo_interval=turbo_interval, sp_mesh=sp_mesh,
             ),
         )
         if noise is None:
@@ -625,16 +667,19 @@ class Kandinsky2_1:
         self, prompt, num_steps=100, batch_size=1, guidance_scale=7,
         h=512, w=512, sampler="ddim_sampler", prior_cf_scale=4,
         prior_steps="25", negative_prior_prompt="", negative_decoder_prompt="",
-        fused=True, turbo_interval=1,
+        fused=True, turbo_interval=1, sp_mesh=None,
     ):
         """kandinsky2_1_model.py:299-351.  With ``fused`` (default) and no
         negative decoder prompt the whole trajectory runs as one XLA
         program.  ``prompt`` may be a list of distinct prompts; batch_size
         is then inferred (one compiled program serves all of them).
         ``turbo_interval`` > 1 enables DeepCache-style deep-branch reuse
-        (non-parity speedup; see _build_latent_fn)."""
+        (non-parity speedup; see _build_latent_fn).  ``sp_mesh``: run the
+        denoise+decode spatially parallel — image rows sharded over the
+        mesh's "sp" axis (parallel/spatial.py) for resolutions past one
+        chip's HBM; the prior/text stages run replicated."""
         batch_size = resolve_batch(prompt, batch_size)
-        if fused and negative_decoder_prompt == "":
+        if sp_mesh is None and fused and negative_decoder_prompt == "":
             return self._generate_text2img_fused(
                 prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
                 prior_cf_scale, prior_steps, negative_prior_prompt,
@@ -659,6 +704,7 @@ class Kandinsky2_1:
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
             num_steps=num_steps, turbo_interval=turbo_interval,
+            sp_mesh=sp_mesh,
         )
 
     def generate_text2img_hires(

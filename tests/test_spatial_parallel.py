@@ -197,3 +197,48 @@ def test_spatial_unet_matches_single_device(updown):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_pipeline_generate_sp_matches_plain():
+    """Full 2.1 denoise+decode with sp_mesh == the plain program: same noise,
+    same CFG image prompt, deterministic sampler (ddim)."""
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    B = 1
+    emb = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(11), (B, 32)),
+         jnp.zeros((B, 32))], axis=0
+    )
+    noise = np.asarray(jax.random.normal(jax.random.PRNGKey(12), (B, 16, 16, 4)))
+
+    kw = dict(prompt="a cat", img_prompt=emb, batch_size=B, h=128, w=128,
+              sampler="ddim_sampler", num_steps=4, noise=noise)
+    plain = p.generate_img(**kw)
+    sp = p.generate_img(**kw, sp_mesh=sp_mesh(4))
+    a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
+    assert a.shape == b.shape == (128, 128, 3)
+    assert np.mean(np.abs(a - b) > 1) < 0.01
+
+
+@pytest.mark.slow
+def test_pipeline_generate_sp_rejects_bad_rows():
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    emb = jnp.zeros((2, 32))
+    with pytest.raises(ValueError, match="sp_axis"):
+        p.generate_img(prompt="x", img_prompt=emb, batch_size=1, h=64, w=64,
+                       sampler="ddim_sampler", num_steps=2,
+                       sp_mesh=sp_mesh(8))
