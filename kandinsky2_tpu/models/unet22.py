@@ -25,12 +25,13 @@ checkpoints once weights are available.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .unet import _c3
 from .layers import (
     GroupNorm32,
     LayerNormF32,
@@ -65,25 +66,33 @@ class ResnetBlock22(nn.Module):
     down: bool = False
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, temb):
-        h = GroupNorm32(num_groups=32, eps=self.eps, swish=1.0, name="norm1")(x)
+        h = GroupNorm32(
+            num_groups=32, eps=self.eps, swish=1.0, axis_name=self.sp_axis,
+            name="norm1",
+        )(x)
         if self.up:
             h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
         elif self.down:
+            # 2x2 window never crosses an even row-shard boundary
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = conv2d(self.out_channels, "conv1", dtype=self.dtype)(h)
+        h = _c3(self.out_channels, "conv1", self.dtype, self.sp_axis)(h)
         emb = dense(2 * self.out_channels, "time_emb_proj", self.dtype)(
             jax.nn.silu(temb)
         ).astype(h.dtype)[:, None, None, :]
         scale, shift = jnp.split(emb, 2, axis=-1)
-        h = GroupNorm32(num_groups=32, eps=self.eps, swish=0.0, name="norm2")(h)
+        h = GroupNorm32(
+            num_groups=32, eps=self.eps, swish=0.0, axis_name=self.sp_axis,
+            name="norm2",
+        )(h)
         h = h * (1 + scale) + shift
         h = jax.nn.silu(h)
-        h = conv2d(self.out_channels, "conv2", dtype=self.dtype)(h)
+        h = _c3(self.out_channels, "conv2", self.dtype, self.sp_axis)(h)
         if self.in_channels != self.out_channels:
             x = dense(self.out_channels, "conv_shortcut", self.dtype)(x)
         return x + h
@@ -98,17 +107,24 @@ class AddedKVAttention(nn.Module):
     heads: int
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, encoder_states):
         B, H, W, C = x.shape
         ch = C // self.heads
-        h = GroupNorm32(num_groups=32, eps=self.eps, swish=0.0, name="group_norm")(
-            x
-        ).reshape(B, H * W, C)
+        h = GroupNorm32(
+            num_groups=32, eps=self.eps, swish=0.0, axis_name=self.sp_axis,
+            name="group_norm",
+        )(x).reshape(B, H * W, C)
         q = dense(C, "to_q", self.dtype)(h).reshape(B, -1, self.heads, ch)
         k = dense(C, "to_k", self.dtype)(h).reshape(B, -1, self.heads, ch)
         v = dense(C, "to_v", self.dtype)(h).reshape(B, -1, self.heads, ch)
+        if self.sp_axis is not None:
+            # exact softmax over the full image: local query rows vs
+            # all-gathered spatial K/V (device order == row order)
+            k = jax.lax.all_gather(k, self.sp_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.sp_axis, axis=1, tiled=True)
         ek = dense(C, "add_k_proj", self.dtype)(encoder_states).reshape(
             B, -1, self.heads, ch
         )
@@ -221,6 +237,9 @@ class UNet22(nn.Module):
     controlnet_hint: bool = False
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    # Mesh axis for spatially-parallel (row-sharded) execution inside
+    # shard_map; see parallel/spatial.py.  None = single-device layout.
+    sp_axis: Optional[str] = None
 
     def setup(self):
         ch0 = self.block_out_channels[0]
@@ -239,7 +258,16 @@ class UNet22(nn.Module):
             self.add_embedding = ImageTimeEmbedding(
                 tdim, dtype=self.dtype, name="add_embedding"
             )
-        self.conv_in = conv2d(ch0, "conv_in", dtype=self.dtype)
+        if self.sp_axis is None:
+            self.conv_in = conv2d(ch0, "conv_in", dtype=self.dtype)
+        else:
+            # setup-created module: a real nn.Conv (flax cannot register
+            # modules hidden in closures); halo rows prepended in denoise
+            self.conv_in = nn.Conv(
+                ch0, kernel_size=(3, 3), padding=((0, 0), (1, 1)),
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.lecun_normal(), name="conv_in",
+            )
 
         down, skips = [], [ch0]
         ch = ch0
@@ -250,6 +278,7 @@ class UNet22(nn.Module):
                 resnets.append(
                     ResnetBlock22(
                         ch, out_ch, tdim, eps=self.eps, dtype=self.dtype,
+                        sp_axis=self.sp_axis,
                         name=f"down_blocks.{i}.resnets.{j}",
                     )
                 )
@@ -259,7 +288,7 @@ class UNet22(nn.Module):
                     attns.append(
                         AddedKVAttention(
                             ch, ch // self.attention_head_dim, eps=self.eps,
-                            dtype=self.dtype,
+                            dtype=self.dtype, sp_axis=self.sp_axis,
                             name=f"down_blocks.{i}.attentions.{j}",
                         )
                     )
@@ -267,6 +296,7 @@ class UNet22(nn.Module):
             if i != n_levels - 1:
                 downsampler = ResnetBlock22(
                     ch, ch, tdim, down=True, eps=self.eps, dtype=self.dtype,
+                    sp_axis=self.sp_axis,
                     name=f"down_blocks.{i}.downsamplers.0",
                 )
                 skips.append(ch)
@@ -277,16 +307,16 @@ class UNet22(nn.Module):
         self.mid_resnets = (
             ResnetBlock22(
                 ch, ch, tdim, eps=self.eps, dtype=self.dtype,
-                name="mid_block.resnets.0",
+                sp_axis=self.sp_axis, name="mid_block.resnets.0",
             ),
             ResnetBlock22(
                 ch, ch, tdim, eps=self.eps, dtype=self.dtype,
-                name="mid_block.resnets.1",
+                sp_axis=self.sp_axis, name="mid_block.resnets.1",
             ),
         )
         self.mid_attn = AddedKVAttention(
             ch, ch // self.attention_head_dim, eps=self.eps, dtype=self.dtype,
-            name="mid_block.attentions.0",
+            sp_axis=self.sp_axis, name="mid_block.attentions.0",
         )
 
         up = []
@@ -300,7 +330,8 @@ class UNet22(nn.Module):
                 resnets.append(
                     ResnetBlock22(
                         ch + skip_ch, out_ch, tdim, eps=self.eps,
-                        dtype=self.dtype, name=f"up_blocks.{i}.resnets.{j}",
+                        dtype=self.dtype, sp_axis=self.sp_axis,
+                        name=f"up_blocks.{i}.resnets.{j}",
                     )
                 )
                 ch = out_ch
@@ -308,7 +339,7 @@ class UNet22(nn.Module):
                     attns.append(
                         AddedKVAttention(
                             ch, ch // self.attention_head_dim, eps=self.eps,
-                            dtype=self.dtype,
+                            dtype=self.dtype, sp_axis=self.sp_axis,
                             name=f"up_blocks.{i}.attentions.{j}",
                         )
                     )
@@ -316,17 +347,28 @@ class UNet22(nn.Module):
             if i != n_levels - 1:
                 upsampler = ResnetBlock22(
                     ch, ch, tdim, up=True, eps=self.eps, dtype=self.dtype,
+                    sp_axis=self.sp_axis,
                     name=f"up_blocks.{i}.upsamplers.0",
                 )
             up.append((tuple(resnets), tuple(attns), upsampler))
         self.up = tuple(up)
 
         self.conv_norm_out = GroupNorm32(
-            num_groups=32, eps=self.eps, swish=1.0, name="conv_norm_out"
+            num_groups=32, eps=self.eps, swish=1.0, axis_name=self.sp_axis,
+            name="conv_norm_out",
         )
-        self.conv_out = conv2d(
-            self.out_channels, "conv_out", dtype=jnp.float32, zero_init=True
-        )
+        if self.sp_axis is None:
+            self.conv_out = conv2d(
+                self.out_channels, "conv_out", dtype=jnp.float32,
+                zero_init=True,
+            )
+        else:
+            self.conv_out = nn.Conv(
+                self.out_channels, kernel_size=(3, 3),
+                padding=((0, 0), (1, 1)), dtype=jnp.float32,
+                param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                name="conv_out",
+            )
 
     def encode_conditioning(self, image_embeds, hint=None):
         """(encoder_states, aug_emb, hint_latent) — once per generation."""
@@ -345,11 +387,35 @@ class UNet22(nn.Module):
             jax.nn.silu(self.time_embedding_1(temb.astype(self.dtype)))
         )
 
+    def _local_hint(self, x, hint_latent):
+        """Concatenate the hint latent to x; under SP the hint was encoded
+        replicated (full rows) in encode_conditioning, so slice this
+        device's row block out of it."""
+        hint = hint_latent.astype(x.dtype)
+        if self.sp_axis is not None and hint.shape[1] != x.shape[1]:
+            start = jax.lax.axis_index(self.sp_axis) * x.shape[1]
+            hint = jax.lax.dynamic_slice_in_dim(hint, start, x.shape[1], 1)
+        return jnp.concatenate([x, hint], axis=-1)
+
+    def _conv_in_h(self, x):
+        if self.sp_axis is not None:
+            from ..parallel.spatial import halo_exchange_rows
+
+            x = halo_exchange_rows(x, self.sp_axis)
+        return self.conv_in(x)
+
+    def _conv_out_h(self, h):
+        if self.sp_axis is not None:
+            from ..parallel.spatial import halo_exchange_rows
+
+            h = halo_exchange_rows(h, self.sp_axis)
+        return self.conv_out(h)
+
     def denoise(self, x, timesteps, encoder_states, aug_emb, hint_latent=None):
         emb = self.time_embedding(timesteps) + aug_emb.astype(self.dtype)
         if self.controlnet_hint:
-            x = jnp.concatenate([x, hint_latent.astype(x.dtype)], axis=-1)
-        h = self.conv_in(x.astype(self.dtype))
+            x = self._local_hint(x, hint_latent)
+        h = self._conv_in_h(x.astype(self.dtype))
         hs = [h]
         for resnets, attns, downsampler in self.down:
             for j, res in enumerate(resnets):
@@ -372,7 +438,7 @@ class UNet22(nn.Module):
             if upsampler is not None:
                 h = upsampler(h, emb)
         h = self.conv_norm_out(h.astype(jnp.float32))
-        return self.conv_out(h)
+        return self._conv_out_h(h)
 
     def denoise_cached(self, x, timesteps, encoder_states, aug_emb,
                        hint_latent, cache, refresh):
@@ -384,8 +450,8 @@ class UNet22(nn.Module):
         deep_cache_spec22).  Returns (out, new_cache).  Apply-only."""
         emb = self.time_embedding(timesteps) + aug_emb.astype(self.dtype)
         if self.controlnet_hint:
-            x = jnp.concatenate([x, hint_latent.astype(x.dtype)], axis=-1)
-        h = self.conv_in(x.astype(self.dtype))
+            x = self._local_hint(x, hint_latent)
+        h = self._conv_in_h(x.astype(self.dtype))
         hs = [h]
         resnets0, attns0, downsampler0 = self.down[0]
         for j, res in enumerate(resnets0):
@@ -432,7 +498,7 @@ class UNet22(nn.Module):
             if attns_last:
                 h = attns_last[j](h, encoder_states)
         h = self.conv_norm_out(h.astype(jnp.float32))
-        return self.conv_out(h), new_cache
+        return self._conv_out_h(h), new_cache
 
     def __call__(self, x, timesteps, image_embeds, hint=None):
         encoder_states, aug_emb, hint_latent = self.encode_conditioning(

@@ -344,7 +344,8 @@ class Kandinsky2_2:
     # ------------------------------------------------------------------
 
     def _build_decoder_fn(self, *, steps, lat_h, lat_w, batch_size, task,
-                          ladder=None, turbo_interval=1, sampler="ddpm"):
+                          ladder=None, turbo_interval=1, sampler="ddpm",
+                          sp_mesh=None):
         ladder = ddpm_ladder(steps) if ladder is None else ladder
         if sampler in ("dpmpp", "dpmpp_karras"):
             from ..diffusion import (
@@ -375,6 +376,20 @@ class Kandinsky2_2:
 
             cache_ds, cache_ch = deep_cache_spec22(self.unet)
 
+        if sp_mesh is None:
+            unet, movq = self.unet, self.movq
+        else:
+            sp_n = sp_mesh.shape["sp"]
+            levels = len(self.unet.block_out_channels)
+            need = sp_n * 2 ** (levels - 1)
+            if lat_h % need != 0:
+                raise ValueError(
+                    f"latent height {lat_h} must divide sp_axis*2^(levels-1)"
+                    f" = {need} for row-sharded generation"
+                )
+            unet = self.unet.clone(sp_axis="sp", parent=None)
+            movq = self.movq.clone(sp_axis="sp", parent=None)
+
         def fn(params, image_embeds, rng, x_T, extra_a, extra_b, g):
             """extra_a/extra_b: (masked_image, mask) for inpainting,
             (hint, -) for controlnet, unused otherwise — all CFG-halved B."""
@@ -382,9 +397,12 @@ class Kandinsky2_2:
             if task == "controlnet":
                 kw["hint"] = jnp.concatenate([extra_a, extra_a], 0)
             # conditioning for the CFG-doubled [negative; positive] batch
-            encoder_states, aug_emb, hint_latent = self.unet.apply(
+            if sp_mesh is not None and sampler == "ddpm":
+                # independent ancestral noise per row shard
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("sp"))
+            encoder_states, aug_emb, hint_latent = unet.apply(
                 {"params": params["unet"]}, image_embeds,
-                method=self.unet.encode_conditioning, **kw,
+                method=type(unet).encode_conditioning, **kw,
             )
 
             def unet_in(x, t):
@@ -407,27 +425,29 @@ class Kandinsky2_2:
 
             def model_fn(x, t):
                 x2, t2 = unet_in(x, t)
-                out = self.unet.apply(
+                out = unet.apply(
                     {"params": params["unet"]}, x2, t2, encoder_states,
-                    aug_emb, hint_latent, method=self.unet.denoise,
+                    aug_emb, hint_latent, method=type(unet).denoise,
                 )
                 return mix(out)
 
             def model_fn_turbo(x, t, cache, pos):
                 refresh = (pos % turbo_interval) == 0
                 x2, t2 = unet_in(x, t)
-                out, cache = self.unet.apply(
+                out, cache = unet.apply(
                     {"params": params["unet"]}, x2, t2, encoder_states,
                     aug_emb, hint_latent, cache, refresh,
-                    method=self.unet.denoise_cached,
+                    method=type(unet).denoise_cached,
                 )
                 return mix(out), cache
 
             model_state = None
             if turbo:
+                rows = lat_h // cache_ds
+                if sp_mesh is not None:
+                    rows //= sp_mesh.shape["sp"]
                 model_state = jnp.zeros(
-                    (2 * batch_size, lat_h // cache_ds, lat_w // cache_ds,
-                     cache_ch),
+                    (2 * batch_size, rows, lat_w // cache_ds, cache_ch),
                     self.dtype,
                 )
 
@@ -444,28 +464,44 @@ class Kandinsky2_2:
                     prediction="epsilon", variance="learned_range",
                     clip_range=2.0, model_state=model_state,
                 )
-            img = self.movq.apply(
+            img = movq.apply(
                 {"params": params["movq"]}, lat.astype(self.dtype),
-                method=self.movq.decode,
+                method=type(movq).decode,
             )
             return img.astype(jnp.float32)
 
-        return jax.jit(fn)
+        if sp_mesh is None:
+            return jax.jit(fn)
+
+        from jax.sharding import PartitionSpec as P
+
+        row = P(None, "sp", None, None)
+        # hint (extra_a for controlnet) is a full-resolution PIXEL map fed to
+        # the replicated hint encoder; rows of x_T / inpaint tensors shard
+        extra_a_spec = P() if task == "controlnet" else row
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=sp_mesh,
+            in_specs=(P(), P(), P(), row, extra_a_spec, row, P()),
+            out_specs=row,
+            check_vma=False,
+        ))
 
     def _decode_loop(self, image_embeds, batch_size, steps, guidance, h, w,
                      x_T=None, extra_a=None, extra_b=None, task=None,
-                     ladder=None, turbo_interval=1, sampler="ddpm"):
+                     ladder=None, turbo_interval=1, sampler="ddpm",
+                     sp_mesh=None):
         task = task or self.task_type
         lat_h, lat_w = h // 8, w // 8
         key = ("dec22", task, steps, lat_h, lat_w, batch_size,
                None if ladder is None else len(ladder), turbo_interval,
-               sampler)
+               sampler, None if sp_mesh is None else sp_mesh.shape["sp"])
         fn = self._jit(
             key,
             lambda: self._build_decoder_fn(
                 steps=steps, lat_h=lat_h, lat_w=lat_w, batch_size=batch_size,
                 task=task, ladder=ladder, turbo_interval=turbo_interval,
-                sampler=sampler,
+                sampler=sampler, sp_mesh=sp_mesh,
             ),
         )
         if x_T is None:
@@ -509,6 +545,7 @@ class Kandinsky2_2:
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
         turbo_interval=1, sampler="ddpm", prior_sampler="ddpm",
+        sp_mesh=None,
     ):
         """``sampler``: 'ddpm' is the diffusers-parity ancestral scheduler;
         'dpmpp'/'dpmpp_karras' (beyond reference) is deterministic
@@ -524,7 +561,7 @@ class Kandinsky2_2:
         )
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
-            turbo_interval=turbo_interval, sampler=sampler,
+            turbo_interval=turbo_interval, sampler=sampler, sp_mesh=sp_mesh,
         )
 
     def generate_img2img(

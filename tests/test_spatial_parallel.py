@@ -242,3 +242,23 @@ def test_pipeline_generate_sp_rejects_bad_rows():
         p.generate_img(prompt="x", img_prompt=emb, batch_size=1, h=64, w=64,
                        sampler="ddim_sampler", num_steps=2,
                        sp_mesh=sp_mesh(8))
+
+
+@pytest.mark.slow
+def test_pipeline22_decode_loop_sp_matches_plain():
+    """2.2 decoder loop + MoVQ decode with sp_mesh == the plain program
+    (fixed CFG embeds and x_T, deterministic dpmpp sampler)."""
+    from test_pipeline22 import make_pipe
+
+    p = make_pipe("text2img")
+    B = 1
+    embs = jax.random.normal(jax.random.PRNGKey(13), (2 * B, 32))
+    x_T = jax.random.normal(jax.random.PRNGKey(14), (B, 16, 16, 4))
+
+    kw = dict(image_embeds=embs, batch_size=B, steps=4, guidance=4.0,
+              h=128, w=128, x_T=x_T, sampler="dpmpp")
+    plain = p._decode_loop(**kw)
+    sp = p._decode_loop(**kw, sp_mesh=sp_mesh(4))
+    a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
+    assert a.shape == b.shape == (128, 128, 3)
+    assert np.mean(np.abs(a - b) > 1) < 0.01
