@@ -404,6 +404,31 @@ class Kandinsky2:
             img_mask=jnp.asarray(mask), sampler=sampler, ddim_eta=ddim_eta,
         )
 
+    def decode_latents(self, latents, sp_mesh=None, axis="sp"):
+        """KL-VAE-decode raw sampler latents (B, h/8, w/8, 4) to uint8 PIL
+        images.  With ``sp_mesh`` the decode runs spatially parallel — image
+        rows sharded over the mesh axis (parallel/spatial.py) — for
+        resolutions whose decoder activations exceed one chip's HBM."""
+        lat = (jnp.asarray(latents, jnp.float32) / self.scale).astype(self.dtype)
+        if sp_mesh is None:
+            fn = self._jit(
+                ("vae_dec", tuple(lat.shape)),
+                lambda: jax.jit(
+                    lambda p, z: self.image_encoder.apply(
+                        {"params": p}, z, method=self.image_encoder.decode
+                    ).astype(jnp.float32)
+                ),
+            )
+            img = fn(self.params["image_encoder"], lat)
+        else:
+            from ..parallel.spatial import spatial_decode
+
+            img = spatial_decode(
+                self.image_encoder, self.params["image_encoder"], lat,
+                sp_mesh, axis=axis, method="decode",
+            ).astype(jnp.float32)
+        return process_images(np.asarray(img))
+
     def _vae_encode_sample(self, image):
         fn = self._jit(
             ("vae_enc", tuple(image.shape)),

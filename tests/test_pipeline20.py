@@ -142,3 +142,19 @@ def test_text2img_20_prompt_list(pipe20):
     assert len(imgs) == 2
     a, b = (np.asarray(im, np.float32) for im in imgs)
     assert a.shape == (64, 64, 3) and np.isfinite(a).all()
+
+
+def test_decode_latents_sp(pipe20):
+    """decode_latents: plain and sp_mesh paths agree (KL-VAE rides the
+    row-sharded Decoder; parallel/spatial.py)."""
+    from jax.sharding import Mesh
+
+    lat = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(21), (1, 8, 8, 4))
+    )
+    plain = pipe20.decode_latents(lat)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    sp = pipe20.decode_latents(lat, sp_mesh=mesh)
+    a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
+    assert a.shape == b.shape
+    assert np.mean(np.abs(a - b) > 1) < 0.01

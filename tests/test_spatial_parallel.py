@@ -262,3 +262,28 @@ def test_pipeline22_decode_loop_sp_matches_plain():
     a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
     assert a.shape == b.shape == (128, 128, 3)
     assert np.mean(np.abs(a - b) > 1) < 0.01
+
+
+@pytest.mark.slow
+def test_pipeline_generate_sp_turbo_finite():
+    """sp_mesh composes with turbo_interval: the deep-cache state shards its
+    rows; output finite and image-shaped."""
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    emb = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(15), (1, 32)),
+         jnp.zeros((1, 32))], axis=0
+    )
+    out = p.generate_img(
+        prompt="x", img_prompt=emb, batch_size=1, h=128, w=128,
+        sampler="ddim_sampler", num_steps=4, turbo_interval=2,
+        sp_mesh=sp_mesh(4),
+    )
+    a = np.asarray(out[0])
+    assert a.shape == (128, 128, 3)
