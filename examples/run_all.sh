@@ -30,4 +30,5 @@ run train_decoder.py --small
 run train_prior.py   --small
 run train_lora_22.py --small --steps 5 --out "$OUT/lora_train_22.png"
 run distill_22.py    --small --steps 5 --out "$OUT/distill_22.png"
+run train_sp.py      --steps 2
 echo "ALL EXAMPLES OK -> $OUT"

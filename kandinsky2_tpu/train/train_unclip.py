@@ -80,6 +80,7 @@ def make_unclip_train_step(
     ema_decay: Optional[float] = 0.9999,
     inpainting: bool = False,
     data_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
     remat: bool = False,
 ):
     """Build (init_state, train_step).  ``remat`` wraps the UNet forward in
@@ -90,8 +91,19 @@ def make_unclip_train_step(
       image_latents [B,h,w,4] (MoVQ-encoded, scaled), full_emb, pooled_emb,
       image_emb, and optionally inpaint_image/inpaint_mask.
     Returns (state, metrics).
+
+    ``data_axis``/``sp_axis`` name mesh axes for use *inside shard_map* (see
+    ``make_spdp_train_fn``): with ``data_axis`` the batch dimension is
+    sharded (grads pmean'd, reference DDP); with ``sp_axis`` the latent ROWS
+    are sharded spatially — the UNet runs its halo-exchange/psum'd-norm/
+    gathered-KV SP path (parallel/spatial.py), removing the single-chip
+    activation-memory cap on training resolution.  Plain jit-over-Mesh data
+    parallelism needs neither (XLA inserts the reductions itself).
     """
     from ..configs import schedule_kwargs
+
+    if sp_axis is not None and getattr(unet, "sp_axis", None) != sp_axis:
+        unet = unet.clone(sp_axis=sp_axis, parent=None)
 
     skw = schedule_kwargs(diffusion_config, "")
     sched = make_schedule(**skw["make_schedule"])
@@ -112,7 +124,15 @@ def make_unclip_train_step(
         )
 
     def train_step(state: TrainState, batch, rng):
-        rng_t, rng_n = jax.random.split(jax.random.fold_in(rng, state.step))
+        rng = jax.random.fold_in(rng, state.step)
+        if data_axis is not None:
+            # distinct examples per data shard => distinct t/noise draws
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        rng_t, rng_n = jax.random.split(rng)
+        if sp_axis is not None:
+            # one t per example across the whole sp group (same rng_t), but
+            # independent noise per row shard: fold the shard index in
+            rng_n = jax.random.fold_in(rng_n, jax.lax.axis_index(sp_axis))
         x0 = batch["image_latents"].astype(jnp.float32)
         B = x0.shape[0]
         if schedule_sampler == "loss-second-moment":
@@ -144,12 +164,25 @@ def make_unclip_train_step(
                 mean_type=mean_type, var_type=var_type, loss_type=loss_type,
                 channel_axis=-1,
             )
+            if sp_axis is not None:
+                # per-example terms are means over the LOCAL row shard;
+                # equal shards make the cross-shard pmean the global mean
+                terms = jax.tree_util.tree_map(
+                    lambda v: jax.lax.pmean(v, sp_axis), terms
+                )
             loss = jnp.mean(terms["loss"] * weights)
             return loss, terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if sp_axis is not None:
+            # Inside shard_map (check_vma=False) the forward pmean over the
+            # sp axis transposes so each shard's param cotangent is exactly
+            # its local+halo contribution; pmean'ing the grads recovers the
+            # true global gradient (tests/test_spatial_parallel.py pins this
+            # against the single-device gradient).
+            grads = jax.lax.pmean(grads, sp_axis)
         if data_axis is not None:
             grads = jax.lax.pmean(grads, data_axis)
             loss = jax.lax.pmean(loss, data_axis)
@@ -173,6 +206,9 @@ def make_unclip_train_step(
         }
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"])
+        if data_axis is not None:
+            # loss is already pmean'd; globalize the per-shard aux means too
+            metrics = {k: jax.lax.pmean(v, data_axis) for k, v in metrics.items()}
         return (
             TrainState(
                 params=params, opt_state=opt_state, ema_params=ema_params,
@@ -182,6 +218,56 @@ def make_unclip_train_step(
         )
 
     return init_state, train_step
+
+
+def make_spdp_train_fn(
+    unet,
+    diffusion_config: dict,
+    tx: optax.GradientTransformation,
+    mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    sp_axis: str = "sp",
+    **step_kwargs,
+):
+    """(init_state, train_fn) with the whole train step inside shard_map over
+    an ``(data, sp)`` mesh: examples sharded over ``data_axis``, latent ROWS
+    over ``sp_axis``, params/optimizer replicated.  Spatial sharding divides
+    the UNet's activation (and backward-remat) memory by the sp-axis size —
+    the scale-out path for training at resolutions a single chip cannot hold
+    (the torch reference needs 80 GB GPUs for full-size 768² training; this
+    is the TPU answer).  Gradient exactness vs a single device is pinned by
+    tests/test_spatial_parallel.py::test_spatial_unet_gradients_match_single_device.
+
+    Constraints: global batch divisible by the data-axis size; latent height
+    divisible by ``sp * 2^(levels-1)`` (equal row shards at every UNet
+    resolution).  Pass ``data_axis=None`` for an sp-only mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    init_state, train_step = make_unclip_train_step(
+        unet, diffusion_config, tx,
+        data_axis=data_axis, sp_axis=sp_axis, **step_kwargs,
+    )
+    cache: dict = {}
+
+    def train_fn(state: TrainState, batch, rng):
+        key = tuple(sorted((k, v.ndim) for k, v in batch.items()))
+        if key not in cache:
+            specs = {
+                k: (P(data_axis, sp_axis) if v == 4 else P(data_axis))
+                for k, v in key
+            }
+            cache[key] = jax.jit(jax.shard_map(
+                train_step,
+                mesh=mesh,
+                in_specs=(P(), specs, P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ))
+        return cache[key](state, batch, rng)
+
+    return init_state, train_fn
 
 
 def train_unclip(
