@@ -134,14 +134,36 @@ def sp_conv3x3_down(
     return run
 
 
-def sp_attention_rows(q, k, v, axis_name: str):
+# Above this many TOTAL spatial tokens the gathered-KV attention's
+# [local_rows, T] logits buffer stops fitting comfortably in HBM
+# (65536 tokens 8-way at fp32 is already a 2.1 GB buffer); switch to the
+# ring implementation, whose memory is bounded by q_chunk x T/n.
+RING_THRESHOLD_TOKENS = 65536
+
+
+def sp_attention_rows(q, k, v, axis_name: str, impl: Optional[str] = None):
     """Exact full-spatial single-head attention over row-sharded maps.
 
-    q, k, v: (B, Hl, W, C) local row blocks.  Keys/values are all-gathered
-    along the axis (restoring the full H in device order); each device
-    computes the softmax rows it owns.  Returns (B, Hl, W, C).
+    q, k, v: (B, Hl, W, C) local row blocks; returns (B, Hl, W, C), the
+    softmax rows this device owns.  Two exact implementations:
+
+    * ``"gathered"`` — all-gather K/V along the axis and take one softmax;
+      fastest when the [Hl*W, T] logits buffer fits.
+    * ``"ring"`` — K/V never leave their shards: n ring steps ``ppermute``
+      the K/V blocks around the axis while an online softmax (flash-style
+      running max/sum) folds each block in, with queries processed in
+      chunks — memory O(q_chunk x T/n) instead of O(T²/n).
+
+    ``impl=None`` picks by static total size: ring above
+    ``RING_THRESHOLD_TOKENS`` total tokens.  Both are pinned equal to the
+    single-device softmax in tests/test_spatial_parallel.py.
     """
     B, Hl, W, C = q.shape
+    if impl is None:
+        n = jax.lax.axis_size(axis_name)
+        impl = "ring" if Hl * W * n > RING_THRESHOLD_TOKENS else "gathered"
+    if impl == "ring":
+        return sp_ring_attention_rows(q, k, v, axis_name)
     kf = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
     vf = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
     ql = q.reshape(B, Hl * W, C)
@@ -151,6 +173,73 @@ def sp_attention_rows(q, k, v, axis_name: str):
     logits = logits * (C ** -0.5)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vf.dtype)
     return jnp.einsum("bts,bsc->btc", w, vf).reshape(B, Hl, W, C)
+
+
+def sp_ring_attention_rows(q, k, v, axis_name: str, q_chunk: int = 2048):
+    """Ring attention over row-sharded feature maps (exact softmax).
+
+    Each device keeps flash-style running (max, sum, accumulator) state for
+    its own query rows while the K/V row blocks travel around the ring one
+    ``ppermute`` hop per step; after ``axis_size`` steps every query has
+    seen every key exactly once.  Queries are processed ``q_chunk`` rows at
+    a time inside a ``lax.scan``, so the live logits buffer is
+    [q_chunk, T/n] — the full [T/n, T] matrix of the gathered path is never
+    materialized.  fp32 state regardless of input dtype (softmax exactness);
+    output cast back to the value dtype.
+    """
+    B, Hl, W, C = q.shape
+    n = jax.lax.axis_size(axis_name)
+    tl = Hl * W
+    qc = min(q_chunk, tl)
+    nq = -(-tl // qc)  # ceil
+    pad = nq * qc - tl
+
+    ql = q.reshape(B, tl, C).astype(jnp.float32) * (C ** -0.5)
+    if pad:
+        ql = jnp.pad(ql, ((0, 0), (0, pad), (0, 0)))
+    # chunk-major so scan carries one query chunk's state per step
+    qx = ql.reshape(B, nq, qc, C).transpose(1, 0, 2, 3)  # [nq, B, qc, C]
+    kc0 = k.reshape(B, tl, C).astype(jnp.float32)
+    vc0 = v.reshape(B, tl, C).astype(jnp.float32)
+    # receive the NEXT device's block each step (downstream neighbours send
+    # back); after n steps the blocks are home again
+    ring = [(i, (i - 1) % n) for i in range(n)]
+
+    def ring_step(carry, _):
+        state, kc, vc = carry  # state: (m, s, acc) stacked over query chunks
+
+        def fold(qstate, qq):
+            m, s, acc = qstate  # [B,qc], [B,qc], [B,qc,C]
+            logits = jnp.einsum(
+                "btc,bsc->bts", qq, kc, preferred_element_type=jnp.float32
+            )
+            m_new = jnp.maximum(m, logits.max(axis=-1))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            s_new = s * corr + p.sum(axis=-1)
+            acc_new = acc * corr[..., None] + jnp.einsum("bts,bsc->btc", p, vc)
+            return (m_new, s_new, acc_new)
+
+        def qscan(_, xs):
+            qstate, qq = xs
+            return None, fold(qstate, qq)
+
+        _, state = jax.lax.scan(qscan, None, (state, qx))
+        if n > 1:
+            kc = jax.lax.ppermute(kc, axis_name, ring)
+            vc = jax.lax.ppermute(vc, axis_name, ring)
+        return (state, kc, vc), None
+
+    m0 = jnp.full((nq, B, qc), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((nq, B, qc), jnp.float32)
+    acc0 = jnp.zeros((nq, B, qc, C), jnp.float32)
+    (state, _, _), _ = jax.lax.scan(
+        ring_step, ((m0, s0, acc0), kc0, vc0), None, length=n
+    )
+    _, s, acc = state
+    out = acc / s[..., None]  # [nq, B, qc, C]
+    out = out.transpose(1, 0, 2, 3).reshape(B, nq * qc, C)[:, :tl]
+    return out.astype(v.dtype).reshape(B, Hl, W, C)
 
 
 def spatial_decode(
