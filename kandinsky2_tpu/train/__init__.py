@@ -4,6 +4,7 @@ from .train_lora import (
     LoraTrainState,
     init_lora_train_state,
     make_lora_train_step,
+    make_sp_lora_train_fn,
     unet22_eps_fn,
 )
 from .resample import (

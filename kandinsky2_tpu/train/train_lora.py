@@ -45,6 +45,10 @@ def make_lora_train_step(
     base_params,
     alphas_cumprod: jnp.ndarray,
     tx: optax.GradientTransformation,
+    *,
+    data_axis: str = None,
+    sp_axis: str = None,
+    jit: bool = True,
 ):
     """Build the jitted LoRA step.
 
@@ -52,6 +56,12 @@ def make_lora_train_step(
     architecture with the LoRA-merged parameters; ``cond`` is any pytree of
     conditioning arrays (image embeddings for the 2.2 decoder, text features
     for the prior).  ``alphas_cumprod``: the base (1000-step) schedule.
+
+    ``data_axis``/``sp_axis`` name mesh axes for use inside shard_map (see
+    ``make_sp_lora_train_fn``): examples sharded over ``data_axis``, latent
+    rows over ``sp_axis`` — the SP path for LoRA-tuning at resolutions whose
+    backward doesn't fit one chip.  The caller passes an eps_fn built from
+    an SP-cloned architecture (``unet22_eps_fn(unet, sp_axis=...)``).
     """
     acp = jnp.asarray(alphas_cumprod, jnp.float32)
     T = acp.shape[0]
@@ -60,7 +70,12 @@ def make_lora_train_step(
         """``rng`` is consumed as-is — fold in the step count on the host
         (``jax.random.fold_in(key, step)``) for fresh noise per step."""
         B = x0.shape[0]
+        if data_axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         rng_t, rng_n = jax.random.split(rng)
+        if sp_axis is not None:
+            # one t per example across the sp group; independent noise rows
+            rng_n = jax.random.fold_in(rng_n, jax.lax.axis_index(sp_axis))
         t = jax.random.randint(rng_t, (B,), 0, T)
         noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
         a = acp[t].reshape((B,) + (1,) * (x0.ndim - 1))
@@ -69,11 +84,21 @@ def make_lora_train_step(
         def loss_fn(loras):
             merged = merge_lora(base_params, loras)
             eps_hat = eps_fn(merged, x_t, t.astype(jnp.float32), cond)
-            return jnp.mean(
-                (eps_hat.astype(jnp.float32) - noise) ** 2
-            )
+            loss = jnp.mean((eps_hat.astype(jnp.float32) - noise) ** 2)
+            if sp_axis is not None:
+                # equal row shards: cross-shard mean == the global mean
+                loss = jax.lax.pmean(loss, sp_axis)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.loras)
+        if sp_axis is not None:
+            # recover the exact global gradient from per-shard contributions
+            # (same transpose argument as train_unclip; pinned in
+            # tests/test_spatial_parallel.py)
+            grads = jax.lax.pmean(grads, sp_axis)
+        if data_axis is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.loras)
         loras = optax.apply_updates(state.loras, updates)
         new_state = LoraTrainState(
@@ -81,14 +106,50 @@ def make_lora_train_step(
         )
         return new_state, {"loss": loss}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
 
 
-def unet22_eps_fn(unet):
+def make_sp_lora_train_fn(
+    eps_fn: Callable,
+    base_params,
+    alphas_cumprod: jnp.ndarray,
+    tx: optax.GradientTransformation,
+    mesh,
+    *,
+    data_axis: str = "data",
+    sp_axis: str = "sp",
+):
+    """LoRA train step inside shard_map over a ``(data, sp)`` mesh: examples
+    sharded over ``data_axis``, latent ROWS over ``sp_axis``, factors and
+    frozen base replicated.  The spatial sharding divides the frozen
+    backbone's backward activation memory by the sp size — high-resolution
+    LoRA tuning past one chip's HBM.  ``eps_fn`` must come from an SP-cloned
+    architecture: ``unet22_eps_fn(unet, sp_axis="sp")``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    train_step = make_lora_train_step(
+        eps_fn, base_params, alphas_cumprod, tx,
+        data_axis=data_axis, sp_axis=sp_axis, jit=False,
+    )
+    f = jax.shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, sp_axis), P(data_axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(f, donate_argnums=(0,))
+
+
+def unet22_eps_fn(unet, sp_axis: str = None):
     """eps_fn for LoRA-tuning the 2.2 decoder UNet (the reference's
     tune_decoder_lora target): ``cond`` is the [B, 768] image embedding;
     the model's variance channels are not trained (eps-MSE objective,
-    matching the diffusers script)."""
+    matching the diffusers script).  ``sp_axis`` clones the UNet onto its
+    row-sharded path for use inside ``make_sp_lora_train_fn``."""
+    if sp_axis is not None and getattr(unet, "sp_axis", None) != sp_axis:
+        unet = unet.clone(sp_axis=sp_axis, parent=None)
 
     def eps_fn(params, x_t, t, image_embeds):
         encoder_states, aug_emb, _ = unet.apply(

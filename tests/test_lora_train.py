@@ -136,3 +136,42 @@ def test_lora_merge_changes_generation(setup):
     merged = merge_lora(pipe.params["unet"], state.loras, scale=1.0)
     lora_out = eps_fn(merged, x0, t, cond)
     assert float(jnp.abs(base_out - lora_out).max()) > 1e-6
+
+
+def test_sp_lora_train_step(setup):
+    """Row-sharded LoRA tuning on a (data=2, sp=4) mesh: finite decreasing
+    loss on a deterministic objective, and the updated factors stay bitwise
+    replicated across all 8 devices (gradients correctly globalized over
+    both axes)."""
+    from jax.sharding import Mesh
+
+    from kandinsky2_tpu.train.train_lora import make_sp_lora_train_fn
+
+    pipe, _, new_state = setup
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "sp"))
+    tx = optax.adam(5e-3)
+    sp_step = make_sp_lora_train_fn(
+        unet22_eps_fn(pipe.unet, sp_axis="sp"), pipe.params["unet"],
+        np.asarray(pipe._decoder_acp), tx, mesh,
+    )
+    # the module fixture's optimizer is adam(1e-3); rebuild the state for
+    # this one's 5e-3 so opt_state shapes stay consistent
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.normal(size=(4, 8, 8, 4)) * 0.5, jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+
+    state = new_state()
+    losses = []
+    for _ in range(25):
+        state, metrics = sp_step(state, x0, cond, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.9 * losses[0], losses
+
+    leaves = jax.tree_util.tree_leaves(state.loras)
+    for leaf in [leaves[0], leaves[-1]]:
+        shards = leaf.addressable_shards
+        assert len(shards) == 8
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data), ref)
