@@ -114,7 +114,7 @@ def run_generation_22(pipe, *, h: int = 256, w: int = 256,
 def run_metrics(report: dict, images, reference_dir: Optional[str],
                 out_dir: str, pipe=None) -> None:
     """Stage 4: save outputs; compare against stored reference images."""
-    from .eval import clip_perceptual_distance, psnr, ssim
+    from .eval import clip_perceptual_distance, ms_ssim, psnr, ssim
 
     os.makedirs(out_dir, exist_ok=True)
     out_paths = []
@@ -145,6 +145,9 @@ def run_metrics(report: dict, images, reference_dir: Optional[str],
             "index": i,
             "psnr_db": round(psnr(a, b), 3),
             "ssim": round(ssim(a, b), 5),
+            # multi-scale SSIM: the strongest offline perceptual proxy
+            # (the LPIPS gate proper still needs the lpips package)
+            "ms_ssim": round(ms_ssim(a, b), 5),
         }
         lp = compute_lpips(im, ref)
         if lp is not None:
