@@ -217,15 +217,25 @@ def predict_eps_from_xstart(sched: Schedule, x_t, t, pred_xstart):
     ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
 
 
-def dynamic_threshold(x: jnp.ndarray, percentile: float = 99.5) -> jnp.ndarray:
+def dynamic_threshold(
+    x: jnp.ndarray, percentile: float = 99.5,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
     """On-device dynamic threshold matching gaussian_diffusion.py:284-294.
 
     The reference computes a per-sample percentile of |x| on CPU numpy and then
     uses only the FIRST sample's value (``[0]``) to clip/normalize the whole
     batch; we keep that exact behavior (one scalar from batch element 0) but
     stay on device.
+
+    ``axis_name``: under spatial (row-sharded) parallelism the percentile
+    must span the FULL image, not the local row shard — gather the rows over
+    the named mesh axis first (the statistic is tiny; the clip stays local).
     """
-    s = jnp.percentile(jnp.abs(x[0]).astype(jnp.float32), percentile)
+    v = jnp.abs(x[0]).astype(jnp.float32)
+    if axis_name is not None:
+        v = jax.lax.all_gather(v, axis_name, axis=0, tiled=True)
+    s = jnp.percentile(v, percentile)
     s = jnp.maximum(s, 1.0)
     return jnp.clip(x, -s, s) / s
 
@@ -234,13 +244,14 @@ def process_xstart(
     x: jnp.ndarray,
     clip_denoised: bool,
     denoised_fn: Optional[Callable] = None,
+    threshold_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """denoised_fn then (optionally) dynamic threshold, in reference order
     (gaussian_diffusion.py:284-294)."""
     if denoised_fn is not None:
         x = denoised_fn(x)
     if clip_denoised:
-        x = dynamic_threshold(x)
+        x = dynamic_threshold(x, axis_name=threshold_axis)
     return x
 
 
@@ -255,10 +266,12 @@ def p_mean_variance(
     clip_denoised: bool = True,
     denoised_fn: Optional[Callable] = None,
     channel_axis: int = 1,
+    threshold_axis: Optional[str] = None,
 ):
     """Compute p(x_{t-1} | x_t) stats from a model output
     (gaussian_diffusion.py:223-322), as a pure function — the model has
-    already been applied by the caller.
+    already been applied by the caller.  ``threshold_axis``: mesh axis the
+    dynamic-threshold percentile gathers over under spatial parallelism.
 
     ``channel_axis`` selects where the learned-variance channels live: 1 for
     torch-layout arrays (parity tests), -1 for NHWC latents.
@@ -298,16 +311,20 @@ def p_mean_variance(
             predict_xstart_from_xprev(sched, x, t, model_output),
             clip_denoised,
             denoised_fn,
+            threshold_axis,
         )
         model_mean = model_output
     elif mean_type in (MeanType.START_X, MeanType.EPSILON):
         if mean_type == MeanType.START_X:
-            pred_xstart = process_xstart(model_output, clip_denoised, denoised_fn)
+            pred_xstart = process_xstart(
+                model_output, clip_denoised, denoised_fn, threshold_axis
+            )
         else:
             pred_xstart = process_xstart(
                 predict_xstart_from_eps(sched, x, t, model_output),
                 clip_denoised,
                 denoised_fn,
+                threshold_axis,
             )
         model_mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
     else:

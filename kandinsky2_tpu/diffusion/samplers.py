@@ -76,6 +76,7 @@ def p_sample_loop(
     noise_seq: Optional[jnp.ndarray] = None,
     channel_axis: int = 1,
     model_state=None,
+    threshold_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Ancestral sampling loop (gaussian_diffusion.py:352-475) as one scan.
 
@@ -83,7 +84,9 @@ def p_sample_loop(
     (gaussian_diffusion.py:453-455). ``noise_seq`` optionally injects the
     per-step Gaussian noise ([num_steps, *x.shape], ordered from t=T-1 down)
     for bit-exact comparison against the reference.  With ``model_state``
-    the stateful contract applies (module docstring).
+    the stateful contract applies (module docstring).  ``threshold_axis``:
+    mesh axis the dynamic-threshold percentile spans under row-sharded
+    spatial parallelism.
     """
     num = sched.num_timesteps if init_step is None else init_step
     indices = jnp.arange(num - 1, -1, -1, dtype=jnp.int32)
@@ -108,6 +111,7 @@ def p_sample_loop(
             clip_denoised=clip_denoised,
             denoised_fn=denoised_fn,
             channel_axis=channel_axis,
+            threshold_axis=threshold_axis,
         )
         noise = _step_noise(rng, noise_seq, pos, x.shape, x.dtype)
         nonzero = (t != 0).astype(x.dtype).reshape((B,) + (1,) * (x.ndim - 1))

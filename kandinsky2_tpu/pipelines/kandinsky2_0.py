@@ -203,7 +203,7 @@ class Kandinsky2:
 
     def _build_gen_fn(self, *, sampler, num_steps, new_h, new_w, batch_size,
                       init_step, inpainting, ddim_eta, denoised_type,
-                      dynamic_threshold_v):
+                      dynamic_threshold_v, sp_mesh=None):
         dkw = schedule_kwargs(
             self._diff_cfg, str(num_steps) if sampler == "p_sampler" else ""
         )
@@ -225,27 +225,48 @@ class Kandinsky2:
                 init_step=init_step,
             )
 
+        if sp_mesh is None:
+            unet, vae = self.unet, self.image_encoder
+        else:
+            sp_n = sp_mesh.shape["sp"]
+            levels = len(self.unet.channel_mult)
+            need = sp_n * 2 ** (levels - 1)
+            if new_h % need != 0:
+                raise ValueError(
+                    f"latent height {new_h} must divide sp_axis*2^(levels-1)"
+                    f" = {need} for row-sharded generation"
+                )
+            unet = self.unet.clone(sp_axis="sp", parent=None)
+            vae = self.image_encoder.clone(sp_axis="sp", parent=None)
+        threshold_axis = None if sp_mesh is None else "sp"
+
         def fn(params, full1, pooled1, full2, g, rng, x_T, inpaint_image,
                inpaint_mask):
-            xf_proj, xf_out = self.unet.apply(
+            if sp_mesh is not None and (
+                sampler == "p_sampler"
+                or (sampler == "ddim_sampler" and ddim_eta != 0.0)
+            ):
+                # independent per-row-shard noise for the stochastic samplers
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("sp"))
+            xf_proj, xf_out = unet.apply(
                 {"params": params["unet"]}, full1, pooled1, full2, None,
-                method=self.unet.encode_conditioning,
+                method=type(unet).encode_conditioning,
             )
 
             def model_fn(x, t_model):
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t_model, t_model], axis=0)
                 if inpainting:
-                    out = self.unet.apply(
+                    out = unet.apply(
                         {"params": params["unet"]}, x2, t2, xf_proj, xf_out,
                         jnp.concatenate([inpaint_image, inpaint_image], 0),
                         jnp.concatenate([inpaint_mask, inpaint_mask], 0),
-                        method=self.unet.denoise,
+                        method=type(unet).denoise,
                     )
                 else:
-                    out = self.unet.apply(
+                    out = unet.apply(
                         {"params": params["unet"]}, x2, t2, xf_proj, xf_out,
-                        method=self.unet.denoise,
+                        method=type(unet).denoise,
                     )
                 eps, rest = out[..., :4], out[..., 4:]
                 cond_eps, uncond_eps = eps[:batch_size], eps[batch_size:]
@@ -264,10 +285,14 @@ class Kandinsky2:
                     if denoised_type == "clip_denoised":
                         x0 = jnp.clip(x0, -1, 1)
                     elif denoised_type == "dynamic_threshold":
-                        s = jnp.percentile(
-                            jnp.abs(x0[0]).astype(jnp.float32),
-                            dynamic_threshold_v,
-                        )
+                        v = jnp.abs(x0[0]).astype(jnp.float32)
+                        if threshold_axis is not None:
+                            # the percentile must span the full image, not
+                            # this device's row shard
+                            v = jax.lax.all_gather(
+                                v, threshold_axis, axis=0, tiled=True
+                            )
+                        s = jnp.percentile(v, dynamic_threshold_v)
                         s = jnp.maximum(s, 1.0)
                         x0 = jnp.clip(x0, -s, s) / s
                     return x0 * (1 - inpaint_mask) + inpaint_image * inpaint_mask
@@ -278,6 +303,7 @@ class Kandinsky2:
                     mean_type=dkw["mean_type"], var_type=dkw["var_type"],
                     clip_denoised=True, denoised_fn=denoised_fn,
                     init_step=init_step, channel_axis=-1,
+                    threshold_axis=threshold_axis,
                 )
             elif sampler == "ddim_sampler":
                 samples = ddim_loop(model_fn, tables, x_T, rng, eta=ddim_eta)
@@ -290,23 +316,39 @@ class Kandinsky2:
                     "Only p_sampler, ddim_sampler, plms_sampler, "
                     "dpmpp_sampler and dpmpp_karras_sampler are available"
                 )
-            img = self.image_encoder.apply(
+            img = vae.apply(
                 {"params": params["image_encoder"]},
                 (samples / self.scale).astype(self.dtype),
-                method=self.image_encoder.decode,
+                method=type(vae).decode,
             )
             return img.astype(jnp.float32)
 
-        return jax.jit(fn)
+        if sp_mesh is None:
+            return jax.jit(fn)
+
+        from jax.sharding import PartitionSpec as P
+
+        row = P(None, "sp", None, None)
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=sp_mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), row, row, row),
+            out_specs=row,
+            check_vma=False,
+        ))
 
     def generate_img(
         self, prompt, batch_size=1, num_steps=50, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", init_step=None, noise=None,
         init_img=None, img_mask=None, h=512, w=512, sampler="ddim_sampler",
-        ddim_eta=0.8,
+        ddim_eta=0.8, sp_mesh=None,
     ):
-        """kandinsky2_model.py:104-250."""
+        """kandinsky2_model.py:104-250.  ``sp_mesh``: run denoise + KL-VAE
+        decode spatially parallel — latent/image rows sharded over the
+        mesh's "sp" axis (parallel/spatial.py), the dynamic-threshold
+        percentile gathered across shards — for resolutions past one chip's
+        HBM (see _build_gen_fn)."""
         batch_size = resolve_batch(prompt, batch_size)
         new_h, new_w = get_new_h_w(h, w)
         inpainting = self.task_type == "inpainting"
@@ -314,13 +356,14 @@ class Kandinsky2:
         fn = self._jit(
             ("gen20", sampler, num_steps, new_h, new_w, batch_size, init_step,
              inpainting, round(ddim_eta, 6), denoised_type,
-             round(dynamic_threshold_v, 4)),
+             round(dynamic_threshold_v, 4),
+             None if sp_mesh is None else sp_mesh.shape["sp"]),
             lambda: self._build_gen_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step,
                 inpainting=inpainting, ddim_eta=ddim_eta,
                 denoised_type=denoised_type,
-                dynamic_threshold_v=dynamic_threshold_v,
+                dynamic_threshold_v=dynamic_threshold_v, sp_mesh=sp_mesh,
             ),
         )
         if noise is None:
@@ -342,21 +385,21 @@ class Kandinsky2:
         self, prompt, num_steps=100, batch_size=1, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", h=512, w=512,
-        sampler="ddim_sampler", ddim_eta=0.05,
+        sampler="ddim_sampler", ddim_eta=0.05, sp_mesh=None,
     ):
         return self.generate_img(
             prompt=prompt, batch_size=batch_size, num_steps=num_steps,
             guidance_scale=guidance_scale, progress=progress,
             dynamic_threshold_v=dynamic_threshold_v,
             denoised_type=denoised_type, h=h, w=w, sampler=sampler,
-            ddim_eta=ddim_eta,
+            ddim_eta=ddim_eta, sp_mesh=sp_mesh,
         )
 
     def generate_img2img(
         self, prompt, pil_img, strength=0.7, num_steps=100, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", sampler="ddim_sampler",
-        ddim_eta=0.05,
+        ddim_eta=0.05, sp_mesh=None,
     ):
         """kandinsky2_model.py:287-331 (batch 1, 512²)."""
         image = jnp.asarray(prepare_image(pil_img))
@@ -379,14 +422,14 @@ class Kandinsky2:
             guidance_scale=guidance_scale, progress=progress,
             dynamic_threshold_v=dynamic_threshold_v,
             denoised_type=denoised_type, noise=latent, init_step=start_step,
-            sampler=sampler, ddim_eta=ddim_eta,
+            sampler=sampler, ddim_eta=ddim_eta, sp_mesh=sp_mesh,
         )
 
     def generate_inpainting(
         self, prompt, pil_img, img_mask, num_steps=100, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", sampler="ddim_sampler",
-        ddim_eta=0.05,
+        ddim_eta=0.05, sp_mesh=None,
     ):
         """kandinsky2_model.py:333-381 (mask 1 = keep)."""
         image = jnp.asarray(prepare_image(pil_img))
@@ -402,6 +445,7 @@ class Kandinsky2:
             dynamic_threshold_v=dynamic_threshold_v,
             denoised_type=denoised_type, init_img=latent,
             img_mask=jnp.asarray(mask), sampler=sampler, ddim_eta=ddim_eta,
+            sp_mesh=sp_mesh,
         )
 
     def decode_latents(self, latents, sp_mesh=None, axis="sp"):

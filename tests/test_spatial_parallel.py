@@ -289,6 +289,73 @@ def test_pipeline_generate_sp_turbo_finite():
     assert a.shape == (128, 128, 3)
 
 
+@pytest.mark.slow
+def test_pipeline20_generate_sp_matches_plain():
+    """Full 2.0 denoise + KL-VAE decode with sp_mesh == the plain program:
+    deterministic DDIM (eta=0), fixed noise.  Exercises the SP path through
+    the older UNet (dual text streams) and the 4-level KL-VAE decoder."""
+    from test_pipeline20 import StubHFTok, tiny_config20
+    from kandinsky2_tpu.pipelines.kandinsky2_0 import Kandinsky2
+
+    p = Kandinsky2(
+        config=tiny_config20(), tokenizer1=StubHFTok(),
+        tokenizer2=StubHFTok(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    noise = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(51), (1, 16, 16, 4))
+    )
+    kw = dict(prompt="a cat", batch_size=1, h=128, w=128, num_steps=4,
+              sampler="ddim_sampler", ddim_eta=0.0, noise=noise)
+    plain = p.generate_img(**kw)
+    sp = p.generate_img(**kw, sp_mesh=sp_mesh(4))
+    a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
+    assert a.shape == b.shape == (128, 128, 3)
+    assert np.mean(np.abs(a - b) > 1) < 0.01
+
+
+@pytest.mark.slow
+def test_pipeline20_generate_sp_psampler_finite():
+    """2.0 p_sampler under SP: the in-sampler dynamic threshold gathers its
+    percentile across row shards and each shard draws its own ancestral
+    noise; output finite and image-shaped."""
+    from test_pipeline20 import StubHFTok, tiny_config20
+    from kandinsky2_tpu.pipelines.kandinsky2_0 import Kandinsky2
+
+    p = Kandinsky2(
+        config=tiny_config20(), tokenizer1=StubHFTok(),
+        tokenizer2=StubHFTok(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    out = p.generate_img(
+        prompt="x", batch_size=1, h=128, w=128, num_steps=4,
+        sampler="p_sampler", sp_mesh=sp_mesh(4),
+    )
+    a = np.asarray(out[0])
+    assert a.shape == (128, 128, 3)
+
+
+def test_dynamic_threshold_axis_matches_global():
+    """The gathered-percentile dynamic threshold under row sharding equals
+    the single-device threshold exactly."""
+    from jax.sharding import PartitionSpec as P
+    from kandinsky2_tpu.diffusion.gaussian import dynamic_threshold
+
+    x = jax.random.normal(jax.random.PRNGKey(52), (2, 16, 8, 4)) * 3.0
+    ref = dynamic_threshold(x)
+    f = jax.shard_map(
+        lambda b: dynamic_threshold(b, axis_name="sp"),
+        mesh=sp_mesh(4),
+        in_specs=P(None, "sp", None, None),
+        out_specs=P(None, "sp", None, None),
+        check_vma=False,
+    )
+    got = f(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-6, rtol=1e-6
+    )
+
+
 def _plain_attention(q, k, v):
     B, H, W, C = q.shape
     ql = q.reshape(B, H * W, C)
