@@ -135,3 +135,45 @@ def test_spdp_ema_and_sampler_state(spdp_run):
     assert int(jnp.sum(s2.sampler_state.counts)) > 0
     for leaf in jax.tree_util.tree_leaves(s2.ema_params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_spdp_train_step_inpainting():
+    """The batch-spec rule shards every 4-D array (inpaint_image/mask
+    included) over (data, sp); one inpainting train step runs finite."""
+    from jax.sharding import Mesh
+
+    cfg = deep_copy_config(CONFIG_2_1)
+    mc = cfg["model_config"]
+    mc.update(
+        num_channels=32, num_res_blocks=1, channel_mult="1,2",
+        attention_resolutions="32", num_head_channels=16, model_dim=32,
+        text_encoder_in_dim1=16, text_encoder_in_dim2=32,
+        image_encoder_in_dim=32, num_image_embs=2, inpainting=True,
+    )
+    unet = create_model(**mc, dtype=jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "sp"))
+
+    B, H = 4, 16
+    lat = jax.random.normal(jax.random.PRNGKey(20), (B, H, H, 4))
+    batch = {
+        "image_latents": lat,
+        "full_emb": jax.random.normal(jax.random.PRNGKey(21), (B, 7, 16)),
+        "pooled_emb": jax.random.normal(jax.random.PRNGKey(22), (B, 32)),
+        "image_emb": jax.random.normal(jax.random.PRNGKey(23), (B, 32)),
+        "inpaint_image": lat * 0.5,
+        "inpaint_mask": jnp.ones((B, H, H, 1)),
+    }
+    params = unet.init(
+        jax.random.PRNGKey(24), lat, jnp.zeros((B,)),
+        full_emb=batch["full_emb"], pooled_emb=batch["pooled_emb"],
+        image_emb=batch["image_emb"],
+        inpaint_image=batch["inpaint_image"],
+        inpaint_mask=batch["inpaint_mask"],
+    )["params"]
+    init_state, train_fn = make_spdp_train_fn(
+        unet, cfg["diffusion_config"], optax.adam(1e-3), mesh,
+        inpainting=True, ema_decay=None,
+    )
+    state, metrics = train_fn(init_state(params), batch, jax.random.PRNGKey(25))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
