@@ -288,10 +288,17 @@ def train_unclip(
     ema_decay: float = 0.9999,
     seed: int = 0,
     log_every: int = 50,
+    remat: bool = False,
+    mesh_shape: Optional[tuple] = None,
 ):
     """Single-host training loop (trainer_2_1_uclip.py:39-81 semantics +
     atomic checkpointing).  ``prepare_batch(raw)`` runs the frozen encoders
     (MoVQ/text/CLIP) and returns the train-step batch dict.
+
+    ``mesh_shape=(data, sp)`` runs the shard_map'ed spatial x data parallel
+    step (``make_spdp_train_fn``) over the first data*sp devices: batch
+    divisible by ``data``, latent rows by ``sp * 2^(levels-1)``.  Either
+    entry may be 1 (e.g. ``(1, 8)`` = pure row sharding).
 
     Resume is full-fidelity: the entire TrainState (params, optimizer state,
     EMA, sampler history, step-folded RNG position) is restored, so a
@@ -308,15 +315,33 @@ def train_unclip(
         tx = optax.adafactor(learning_rate=5e-6)  # train_configs default lr
     mask = decoder_freeze_mask(params, freeze_resblocks, freeze_attention)
     tx = masked_optimizer(tx, mask)
-    init_state, train_step = make_unclip_train_step(
-        unet, diffusion_config, tx, schedule_sampler=schedule_sampler,
-        ema_decay=ema_decay, inpainting=inpainting,
-    )
+    if mesh_shape is not None:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        d, s = mesh_shape
+        devs = jax.devices()
+        if len(devs) < d * s:
+            raise ValueError(
+                f"mesh_shape {mesh_shape} needs {d * s} devices, "
+                f"have {len(devs)}"
+            )
+        mesh = Mesh(_np.asarray(devs[:d * s]).reshape(d, s), ("data", "sp"))
+        init_state, train_step = make_spdp_train_fn(
+            unet, diffusion_config, tx, mesh,
+            schedule_sampler=schedule_sampler, ema_decay=ema_decay,
+            inpainting=inpainting, remat=remat,
+        )
+    else:
+        init_state, train_step = make_unclip_train_step(
+            unet, diffusion_config, tx, schedule_sampler=schedule_sampler,
+            ema_decay=ema_decay, inpainting=inpainting, remat=remat,
+        )
+        train_step = jax.jit(train_step)
     state = init_state(params)
     state_file, start_step = latest_train_state(save_path)
     if state_file:
         state = restore_train_state(state_file, state)
-    train_step = jax.jit(train_step)
     rng = jax.random.PRNGKey(seed)
     step = start_step
     for _ in range(num_epochs):

@@ -14,7 +14,7 @@ from PIL import Image
 pytestmark = pytest.mark.slow
 
 
-def test_train_cli_smoke(tmp_path):
+def _write_dataset_and_cfg(tmp_path):
     # dataset: 2 images + captions
     for i in range(2):
         Image.fromarray(
@@ -91,10 +91,15 @@ def test_train_cli_smoke(tmp_path):
             }
         },
     }
+    return cfg
+
+
+def _run_cli(tmp_path, cfg, extra_env=None):
     cfg_path = tmp_path / "config.yaml"
     yaml.safe_dump(cfg, open(cfg_path, "w"))
-
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    if extra_env:
+        env.update(extra_env)
     # stub-tokenizer mode: the CLI falls back to a stub when tokenizer_name
     # is empty (test environments have no downloaded tokenizers)
     proc = subprocess.run(
@@ -108,3 +113,20 @@ def test_train_cli_smoke(tmp_path):
     ckpts = os.listdir(tmp_path / "ckpt")
     assert any(c.endswith(".safetensors") for c in ckpts), ckpts
     assert "latest" in ckpts
+
+
+def test_train_cli_smoke(tmp_path):
+    cfg = _write_dataset_and_cfg(tmp_path)
+    _run_cli(tmp_path, cfg)
+
+
+def test_train_cli_spatial_parallel(tmp_path):
+    """parallel: {data, sp} in the YAML routes the loop through the
+    shard_map'ed SP x DP step (latent rows sharded 4-way here)."""
+    cfg = _write_dataset_and_cfg(tmp_path)
+    cfg["parallel"] = {"data": 1, "sp": 4}
+    cfg["remat"] = True
+    _run_cli(
+        tmp_path, cfg,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+    )

@@ -145,6 +145,12 @@ def main():
         inpainting=inpainting,
         freeze_resblocks=cfg["freeze"]["freeze_resblocks"],
         freeze_attention=cfg["freeze"]["freeze_attention"],
+        remat=bool(cfg.get("remat", False)),
+        # parallel: {data: D, sp: S} -> shard_map'ed spatial x data step
+        mesh_shape=(
+            (cfg["parallel"].get("data", 1), cfg["parallel"].get("sp", 1))
+            if cfg.get("parallel") else None
+        ),
     )
 
 
