@@ -711,7 +711,7 @@ class Kandinsky2_1:
         self, prompt, num_steps=50, batch_size=1, guidance_scale=7,
         h=768, w=768, sampler="ddim_sampler", low_scale=0.5, low_steps=None,
         strength=0.65, prior_cf_scale=4, prior_steps="25",
-        negative_prior_prompt="", turbo_interval=1,
+        negative_prior_prompt="", turbo_interval=1, sp_mesh=None,
     ):
         """Two-stage hires generation (training-free, beyond reference;
         cf. Bottleneck Sampling, arxiv 2503.18940): run the full ladder at
@@ -735,12 +735,20 @@ class Kandinsky2_1:
         image_emb = jnp.concatenate(
             [image_emb, self.create_zero_img_emb(batch_size)], axis=0
         ).astype(self.dtype)
+        lo_h, lo_w = max(64, int(h * low_scale)), max(64, int(w * low_scale))
+        low_sp = sp_mesh
+        if sp_mesh is not None:
+            # the low stage only shards if ITS latent height divides; the
+            # full-res refine (the memory-critical stage) always does
+            need = sp_mesh.shape["sp"] * 2 ** (len(self.unet.channel_mult) - 1)
+            if get_new_h_w(lo_h, lo_w)[0] % need != 0:
+                low_sp = None
         low = self.generate_img(
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale,
-            h=max(64, int(h * low_scale)), w=max(64, int(w * low_scale)),
+            h=lo_h, w=lo_w,
             sampler=sampler, num_steps=low_steps or num_steps,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, sp_mesh=low_sp,
         )
         ups = [im.resize((w, h), _Image.LANCZOS) for im in low]
         return self.generate_img2img(
@@ -748,14 +756,14 @@ class Kandinsky2_1:
             batch_size=batch_size, guidance_scale=guidance_scale, h=h, w=w,
             sampler=sampler, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, image_emb=image_emb,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, sp_mesh=sp_mesh,
         )
 
     def mix_images(
         self, images_texts, weights, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
         prior_cf_scale=4, prior_steps="25", negative_prior_prompt="",
-        negative_decoder_prompt="",
+        negative_decoder_prompt="", sp_mesh=None,
     ):
         """Weighted image-embedding fusion (kandinsky2_1_model.py:353-425)."""
         assert len(images_texts) == len(weights) and len(images_texts) > 0
@@ -785,13 +793,14 @@ class Kandinsky2_1:
         return self.generate_img(
             prompt="", img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
-            num_steps=num_steps,
+            num_steps=num_steps, sp_mesh=sp_mesh,
         )
 
     def generate_img2img(
         self, prompt, pil_img, strength=0.7, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
         prior_cf_scale=4, prior_steps="25", image_emb=None, turbo_interval=1,
+        sp_mesh=None,
     ):
         """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
         strength-derived step, truncated ladder.
@@ -836,14 +845,14 @@ class Kandinsky2_1:
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
             num_steps=num_steps, noise=latent, init_step=start_step,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, sp_mesh=sp_mesh,
         )
 
     def generate_inpainting(
         self, prompt, pil_img, img_mask, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
         prior_cf_scale=4, prior_steps="25", negative_prior_prompt="",
-        negative_decoder_prompt="",
+        negative_decoder_prompt="", sp_mesh=None,
     ):
         """kandinsky2_1_model.py:486-548: latent-mask-blended inpainting."""
         batch_size = resolve_batch(prompt, batch_size)
@@ -872,6 +881,7 @@ class Kandinsky2_1:
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
             num_steps=num_steps, init_img=latent_b, img_mask=mask_b,
+            sp_mesh=sp_mesh,
         )
 
     # ------------------------------------------------------------------

@@ -568,7 +568,7 @@ class Kandinsky2_2:
         self, prompt, image, strength=0.4, batch_size=1, decoder_steps=100,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm", image_embeds=None, turbo_interval=1,
+        sampler="ddpm", image_embeds=None, turbo_interval=1, sp_mesh=None,
     ):
         """``image`` may be a list of per-prompt init images (len == batch);
         a precomputed CFG-doubled ``image_embeds`` skips the prior run (the
@@ -602,7 +602,7 @@ class Kandinsky2_2:
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             x_T=x_T, ladder=ladder, task="img2img", sampler=sampler,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, sp_mesh=sp_mesh,
         )
 
     def generate_text2img_hires(
@@ -610,7 +610,7 @@ class Kandinsky2_2:
         decoder_guidance_scale=4, prior_guidance_scale=4, h=768, w=768,
         low_scale=0.5, low_steps=None, strength=0.35,
         negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm", turbo_interval=1,
+        sampler="ddpm", turbo_interval=1, sp_mesh=None,
     ):
         """Two-stage hires generation (beyond reference, mirrors the 2.1
         method): full ladder at ``low_scale`` resolution, LANCZOS upsample,
@@ -627,10 +627,18 @@ class Kandinsky2_2:
         lh, lw = get_new_h_w_64(
             max(64, int(h * low_scale)), max(64, int(w * low_scale))
         )
+        low_sp = sp_mesh
+        if sp_mesh is not None:
+            # shard the low stage only if ITS latent height divides; the
+            # full-res refine (the memory-critical stage) always does
+            levels = len(self.unet.block_out_channels)
+            need = sp_mesh.shape["sp"] * 2 ** (levels - 1)
+            if (lh // 8) % need != 0:
+                low_sp = None
         low = self._decode_loop(
             embs, batch_size, low_steps or decoder_steps,
             decoder_guidance_scale, lh, lw, sampler=sampler,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, sp_mesh=low_sp,
         )
         ups = [im.resize((w, h), _Image.LANCZOS) for im in low]
         return self.generate_img2img(
@@ -638,14 +646,14 @@ class Kandinsky2_2:
             decoder_steps=decoder_steps,
             decoder_guidance_scale=decoder_guidance_scale, h=h, w=w,
             sampler=sampler, image_embeds=embs,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, sp_mesh=sp_mesh,
         )
 
     def mix_images(
         self, images_texts, weights, batch_size=1, decoder_steps=50,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm",
+        sampler="ddpm", sp_mesh=None,
     ):
         """prior.interpolate (kandinsky2_2_model.py:114-142): weighted sum of
         per-condition image embeddings."""
@@ -672,14 +680,14 @@ class Kandinsky2_2:
         embs = jnp.concatenate([neg, emb], axis=0)
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
-            sampler=sampler,
+            sampler=sampler, sp_mesh=sp_mesh,
         )
 
     def generate_inpainting(
         self, prompt, pil_img, img_mask, batch_size=1, decoder_steps=50,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm",
+        sampler="ddpm", sp_mesh=None,
     ):
         """``img_mask``: 1 = repaint (diffusers >= 0.19 convention for
         Kandinsky inpainting)."""
@@ -702,6 +710,7 @@ class Kandinsky2_2:
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             extra_a=masked, extra_b=keep, task="inpainting", sampler=sampler,
+            sp_mesh=sp_mesh,
         )
 
     def generate_controlnet(
@@ -709,6 +718,7 @@ class Kandinsky2_2:
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
         sampler="ddpm", image=None, strength=0.5, image_embeds=None,
+        sp_mesh=None,
     ):
         """ControlNet-depth: ``hint`` is an [H, W, 3] array in [0, 1]
         (e.g. MiDaS depth, host-side preprocessing as in
@@ -761,7 +771,7 @@ class Kandinsky2_2:
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             extra_a=hint, task="controlnet", sampler=sampler, x_T=x_T,
-            ladder=ladder,
+            ladder=ladder, sp_mesh=sp_mesh,
         )
 
     # ------------------------------------------------------------------

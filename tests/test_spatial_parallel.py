@@ -290,6 +290,52 @@ def test_pipeline_generate_sp_turbo_finite():
 
 
 @pytest.mark.slow
+def test_pipeline21_inpainting_sp_matches_plain():
+    """generate_inpainting(sp_mesh=...) == plain: the latent-blend
+    denoised_fn and the mask ride the row sharding."""
+    from PIL import Image
+
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), task_type="inpainting",
+        dtype=jnp.float32,
+    )
+    p.init_random_params()
+    p.set_seed(3)
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(128, 128, 3) * 255).astype(np.uint8)
+    )
+    mask = np.ones((128, 128), np.float32)
+    mask[40:90, 30:100] = 0.0
+    kw = dict(num_steps=4, h=128, w=128, sampler="ddim_sampler")
+    plain = p.generate_inpainting("a cat", img, mask, **kw)
+    p.set_seed(3)  # same x_T draw for the sharded run
+    sp = p.generate_inpainting("a cat", img, mask, **kw, sp_mesh=sp_mesh(4))
+    a, b = np.asarray(plain[0], np.int32), np.asarray(sp[0], np.int32)
+    assert a.shape == b.shape == (128, 128, 3)
+    assert np.mean(np.abs(a - b) > 1) < 0.01
+
+
+@pytest.mark.slow
+def test_pipeline22_hires_sp_finite():
+    """generate_text2img_hires(sp_mesh=...): the full-res refine stage
+    shards; the low stage drops sharding automatically when its latent
+    height doesn't divide.  Output finite and image-shaped."""
+    from test_pipeline22 import make_pipe
+
+    p = make_pipe("text2img")
+    out = p.generate_text2img_hires(
+        "a cat", batch_size=1, decoder_steps=4, prior_steps=2,
+        h=128, w=128, low_scale=0.5, sampler="dpmpp", sp_mesh=sp_mesh(4),
+    )
+    a = np.asarray(out[0])
+    assert a.shape == (128, 128, 3)
+
+
+@pytest.mark.slow
 def test_pipeline20_generate_sp_matches_plain():
     """Full 2.0 denoise + KL-VAE decode with sp_mesh == the plain program:
     deterministic DDIM (eta=0), fixed noise.  Exercises the SP path through
