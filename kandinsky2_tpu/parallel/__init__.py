@@ -4,6 +4,7 @@ from .mesh import (
     make_mesh,
     replicate,
     shard_params,
+    shard_pipeline,
 )
 from .spatial import (
     halo_below_rows,

@@ -212,3 +212,39 @@ def shard_params(params, mesh: Mesh, min_size: int = 1024,
                 "bytes sharded; did a module rename break the marker rules?"
             )
     return out
+
+
+def shard_pipeline(pipe, mesh: Optional[Mesh] = None,
+                   model_parallel: Optional[int] = None,
+                   min_size: int = 1024, min_candidate_frac: float = 0.5,
+                   verbose: bool = True) -> Mesh:
+    """Tensor-parallel placement of a pipeline's whole ``params`` dict over a
+    ``(data, model)`` mesh (the ``pipe.shard()`` implementation shared by the
+    2.0/2.1/2.2 pipelines): large kernels shard on the model axis, everything
+    else replicates; XLA inserts the ICI collectives.  Call after params are
+    loaded; subsequent jitted calls pick the shardings up from the arguments.
+
+    Prints a coverage report and raises if under ``min_candidate_frac`` of
+    the large-kernel bytes actually sharded (a module rename silently
+    replicating is exactly the failure mode that matters on a real v5e-8).
+    """
+    mesh = mesh or make_mesh(model_parallel=model_parallel)
+    pipe.mesh = mesh
+    report = ShardingReport()
+    pipe.params = {
+        k: shard_params(v, mesh, min_size=min_size, report=report)
+        for k, v in pipe.params.items()
+    }
+    pipe.sharding_report = report
+    if verbose:
+        print(f"[kandinsky2_tpu] shard(): {report.summary()}")
+    if report.fallbacks and verbose:
+        print(f"[kandinsky2_tpu] shard(): divisibility fallbacks: "
+              f"{report.fallbacks[:8]}")
+    if min_candidate_frac > 0 and report.candidate_frac < min_candidate_frac:
+        raise ValueError(
+            f"sharding coverage too low: {report.summary()} — expected "
+            f">= {100 * min_candidate_frac:.0f}% of candidate kernel "
+            "bytes sharded; did a module rename break the marker rules?"
+        )
+    return mesh

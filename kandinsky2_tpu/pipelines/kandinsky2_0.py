@@ -165,6 +165,18 @@ class Kandinsky2:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
+    def shard(self, mesh=None, model_parallel=None, min_size: int = 1024,
+              min_candidate_frac: float = 0.5, verbose: bool = True):
+        """Tensor-parallel placement over a ``(data, model)`` mesh for
+        multi-chip serving — see ``parallel.shard_pipeline``."""
+        from ..parallel import shard_pipeline
+
+        return shard_pipeline(
+            self, mesh=mesh, model_parallel=model_parallel,
+            min_size=min_size, min_candidate_frac=min_candidate_frac,
+            verbose=verbose,
+        )
+
     def encode_text(self, prompt, batch_size: int):
         """Both text streams for [prompt]*B + [""]*B
         (kandinsky2_model.py:86-102, 133-144).  ``prompt`` may be a list of

@@ -224,37 +224,14 @@ class Kandinsky2_1:
               min_size: int = 1024, min_candidate_frac: float = 0.5,
               verbose: bool = True):
         """Tensor-parallel placement over a ``(data, model)`` mesh for
-        multi-chip serving (v5e-8): large kernels shard on the model axis,
-        everything else replicates; XLA inserts the ICI collectives.  Call
-        after params are loaded; subsequent jitted calls pick the shardings up
-        from the arguments.
+        multi-chip serving (v5e-8) — see ``parallel.shard_pipeline``."""
+        from ..parallel import shard_pipeline
 
-        Prints a coverage report and raises if under ``min_candidate_frac``
-        of the large-kernel bytes actually sharded (a module rename silently
-        replicating is exactly the failure mode that matters on a real
-        v5e-8)."""
-        from ..parallel import ShardingReport, make_mesh, shard_params
-
-        mesh = mesh or make_mesh(model_parallel=model_parallel)
-        self.mesh = mesh
-        report = ShardingReport()
-        self.params = {
-            k: shard_params(v, mesh, min_size=min_size, report=report)
-            for k, v in self.params.items()
-        }
-        self.sharding_report = report
-        if verbose:
-            print(f"[kandinsky2_tpu] shard(): {report.summary()}")
-        if report.fallbacks and verbose:
-            print(f"[kandinsky2_tpu] shard(): divisibility fallbacks: "
-                  f"{report.fallbacks[:8]}")
-        if min_candidate_frac > 0 and report.candidate_frac < min_candidate_frac:
-            raise ValueError(
-                f"sharding coverage too low: {report.summary()} — expected "
-                f">= {100 * min_candidate_frac:.0f}% of candidate kernel "
-                "bytes sharded; did a module rename break the marker rules?"
-            )
-        return mesh
+        return shard_pipeline(
+            self, mesh=mesh, model_parallel=model_parallel,
+            min_size=min_size, min_candidate_frac=min_candidate_frac,
+            verbose=verbose,
+        )
 
     def set_seed(self, seed: int) -> None:
         """Reset the pipeline RNG for reproducible generation."""

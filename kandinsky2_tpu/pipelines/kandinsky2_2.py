@@ -154,6 +154,21 @@ class Kandinsky2_2:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
+    def shard(self, mesh=None, model_parallel=None, min_size: int = 1024,
+              min_candidate_frac: float = 0.5, verbose: bool = True):
+        """Tensor-parallel placement over a ``(data, model)`` mesh for
+        multi-chip serving — see ``parallel.shard_pipeline``.  Covers the
+        whole params dict (ViT-bigG prior towers, 2.2 UNet, MoVQ); the
+        full-size trees are audited spec-by-spec in
+        tests/test_sharding_audit.py."""
+        from ..parallel import shard_pipeline
+
+        return shard_pipeline(
+            self, mesh=mesh, model_parallel=model_parallel,
+            min_size=min_size, min_candidate_frac=min_candidate_frac,
+            verbose=verbose,
+        )
+
     # ------------------------------------------------------------------
     # prior
     # ------------------------------------------------------------------

@@ -131,3 +131,50 @@ def test_sharded_inference_pipeline():
     arr = np.asarray(imgs[0])
     assert arr.shape == (64, 64, 3)
     assert np.isfinite(arr.astype(np.float32)).all()
+
+
+@pytest.mark.slow
+def test_sharded_inference_pipeline22():
+    """Full 2.2 prior+decoder with TP-sharded params (ViT-bigG towers, 2.2
+    UNet, MoVQ) over the 8-device mesh via the shared pipe.shard()."""
+    from test_pipeline22 import make_pipe
+
+    pipe = make_pipe("text2img")
+    mesh = pipe.shard(model_parallel=4, min_size=64)
+    assert mesh.devices.size == 8
+    rep = pipe.sharding_report
+    assert rep.sharded_params > 0 and rep.candidate_frac >= 0.5, rep.summary()
+    flat = jax.tree_util.tree_leaves(pipe.params["unet"])
+    assert any(not leaf.sharding.is_fully_replicated for leaf in flat)
+    pipe._jit_cache.clear()
+    imgs = pipe.generate_text2img(
+        "a cat", decoder_steps=4, prior_steps=2, h=64, w=64, sampler="dpmpp",
+    )
+    arr = np.asarray(imgs[0])
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr.astype(np.float32)).all()
+
+
+@pytest.mark.slow
+def test_sharded_inference_pipeline20():
+    """Full 2.0 text2img with TP-sharded params over the 8-device mesh."""
+    from test_pipeline20 import StubHFTok, tiny_config20
+    from kandinsky2_tpu.pipelines.kandinsky2_0 import Kandinsky2
+
+    pipe = Kandinsky2(
+        config=tiny_config20(), tokenizer1=StubHFTok(),
+        tokenizer2=StubHFTok(), dtype=jnp.float32,
+    )
+    pipe.init_random_params()
+    mesh = pipe.shard(model_parallel=4, min_size=64)
+    assert mesh.devices.size == 8
+    rep = pipe.sharding_report
+    assert rep.sharded_params > 0, rep.summary()
+    pipe._jit_cache.clear()
+    imgs = pipe.generate_text2img(
+        "a cat", num_steps=4, h=64, w=64, sampler="ddim_sampler",
+        ddim_eta=0.0,
+    )
+    arr = np.asarray(imgs[0])
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr.astype(np.float32)).all()
