@@ -5,8 +5,11 @@ capped by one device's memory (the full-size decoder at 4096² needs >16 GB
 of fp32 activations for the last up-level alone).  `spatial_decode`
 (kandinsky2_tpu/parallel/spatial.py) shards image ROWS across the mesh:
 every 3x3 conv exchanges one-row halos over ICI, GroupNorm/SpatialNorm
-statistics psum across devices, and the 32² bottleneck attention gathers
-keys/values — numerically the single-device decoder (tests/
+statistics psum across devices, and the bottleneck attention gathers
+keys/values — above 65k total tokens it auto-switches to exact ring
+attention (K/V blocks ppermute through an online-softmax accumulator,
+O(q_chunk·T/n) memory), which is what keeps the mid-block attention
+feasible at 4096²+ — numerically the single-device decoder (tests/
 test_spatial_parallel.py pins it to 1e-4).
 
 Run on the virtual CPU mesh (no TPU pod needed to see it work):
