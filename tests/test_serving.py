@@ -172,3 +172,69 @@ def test_array_kwargs_rejected_and_inpainting_unbatched():
     finally:
         server.stop()
     assert calls == [(["cat"], 1), (["dog"], 1)]
+
+
+@pytest.mark.slow
+def test_http_serving_end_to_end():
+    """The stdlib HTTP front end: concurrent JSON POSTs from two clients run
+    through the batching queue and come back as decodable PNGs; bad
+    requests get 400; /healthz answers."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from kandinsky2_tpu.serving_http import serve_http
+
+    pipe = make_pipe()
+    server = GenerationServer(pipe, max_batch=2, batch_window_s=0.2)
+    httpd = serve_http(server, host="127.0.0.1", port=0, start=False)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    kw = dict(h=64, w=64, num_steps=4, sampler="ddim_sampler",
+              prior_steps="3")
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        results = {}
+
+        def post(name, payload, path="/generate"):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    results[name] = (r.status, json.loads(r.read()))
+            except urllib.error.HTTPError as e:
+                results[name] = (e.code, json.loads(e.read()))
+
+        threads = [
+            threading.Thread(target=post, args=(f"u{i}",
+                             dict(prompt=f"cat {i}", **kw)))
+            for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        from PIL import Image
+
+        for name in ("u0", "u1"):
+            status, body = results[name]
+            assert status == 200, body
+            png = base64.b64decode(body["images"][0])
+            img = Image.open(io.BytesIO(png))
+            assert img.size == (64, 64)
+
+        post("bad", dict(task="text2img"))  # no prompt
+        assert results["bad"][0] == 400
+        post("badtask", dict(prompt="x", task="nope", **kw))
+        assert results["badtask"][0] == 400
+    finally:
+        httpd.shutdown()
+        server.stop()
