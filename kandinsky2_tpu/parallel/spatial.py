@@ -134,6 +134,24 @@ def sp_conv3x3_down(
     return run
 
 
+def sp_rows_ok(h: int, sp_n: int, levels: int) -> bool:
+    """True when ``h`` rows keep equal EVEN shards across ``levels`` dyadic
+    resolutions when sharded ``sp_n``-way."""
+    return h % (sp_n * 2 ** (levels - 1)) == 0
+
+
+def check_sp_rows(h: int, sp_n: int, levels: int,
+                  what: str = "latent height") -> None:
+    """Raise with a uniform message unless ``sp_rows_ok`` — the shared
+    guard for every row-sharded entry point."""
+    if not sp_rows_ok(h, sp_n, levels):
+        need = sp_n * 2 ** (levels - 1)
+        raise ValueError(
+            f"{what} {h} must be a multiple of sp_axis*2^(levels-1) = {need} "
+            "so every resolution level keeps equal even row shards"
+        )
+
+
 # Above this many TOTAL spatial tokens the gathered-KV attention's
 # [local_rows, T] logits buffer stops fitting comfortably in HBM
 # (65536 tokens 8-way at fp32 is already a 2.1 GB buffer); switch to the
@@ -262,7 +280,8 @@ def spatial_decode(
     h_latent = codes_or_quant.shape[1]
     if h_latent % n != 0:
         raise ValueError(
-            f"latent height {h_latent} must divide the spatial axis size {n}"
+            f"latent height {h_latent} must be a multiple of the spatial "
+            f"axis size {n} (equal row shards; 'divide' evenly)"
         )
     sp = movq.clone(sp_axis=axis, parent=None)
     in_spec = P(None, axis) if method == "decode_code" else P(None, axis, None, None)
@@ -297,13 +316,7 @@ def spatial_encode(
     """
     n = mesh.shape[axis]
     h = image.shape[1]
-    levels = len(codec.ch_mult)
-    need = n * 2 ** (levels - 1)
-    if h % need != 0:
-        raise ValueError(
-            f"image height {h} must divide axis_size*2^(levels-1) = {need} "
-            f"so every downsample level keeps equal even row shards"
-        )
+    check_sp_rows(h, n, len(codec.ch_mult), what="image height")
     sp = codec.clone(sp_axis=axis, parent=None)
 
     def run(p, x):

@@ -24,6 +24,7 @@ from ..configs import CONFIG_2_0, create_model, deep_copy_config, schedule_kwarg
 from ..diffusion import (
     ddim_loop,
     dpmpp_2m_loop,
+    dynamic_threshold,
     make_ddim_tables,
     make_dpmpp_karras_tables,
     make_dpmpp_tables,
@@ -240,14 +241,10 @@ class Kandinsky2:
         if sp_mesh is None:
             unet, vae = self.unet, self.image_encoder
         else:
-            sp_n = sp_mesh.shape["sp"]
-            levels = len(self.unet.channel_mult)
-            need = sp_n * 2 ** (levels - 1)
-            if new_h % need != 0:
-                raise ValueError(
-                    f"latent height {new_h} must divide sp_axis*2^(levels-1)"
-                    f" = {need} for row-sharded generation"
-                )
+            from ..parallel.spatial import check_sp_rows
+
+            check_sp_rows(new_h, sp_mesh.shape["sp"],
+                          len(self.unet.channel_mult))
             unet = self.unet.clone(sp_axis="sp", parent=None)
             vae = self.image_encoder.clone(sp_axis="sp", parent=None)
         threshold_axis = None if sp_mesh is None else "sp"
@@ -297,16 +294,10 @@ class Kandinsky2:
                     if denoised_type == "clip_denoised":
                         x0 = jnp.clip(x0, -1, 1)
                     elif denoised_type == "dynamic_threshold":
-                        v = jnp.abs(x0[0]).astype(jnp.float32)
-                        if threshold_axis is not None:
-                            # the percentile must span the full image, not
-                            # this device's row shard
-                            v = jax.lax.all_gather(
-                                v, threshold_axis, axis=0, tiled=True
-                            )
-                        s = jnp.percentile(v, dynamic_threshold_v)
-                        s = jnp.maximum(s, 1.0)
-                        x0 = jnp.clip(x0, -s, s) / s
+                        x0 = dynamic_threshold(
+                            x0, dynamic_threshold_v,
+                            axis_name=threshold_axis,
+                        )
                     return x0 * (1 - inpaint_mask) + inpaint_image * inpaint_mask
 
             if sampler == "p_sampler":
@@ -369,7 +360,7 @@ class Kandinsky2:
             ("gen20", sampler, num_steps, new_h, new_w, batch_size, init_step,
              inpainting, round(ddim_eta, 6), denoised_type,
              round(dynamic_threshold_v, 4),
-             None if sp_mesh is None else sp_mesh.shape["sp"]),
+             None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat)),
             lambda: self._build_gen_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step,

@@ -385,16 +385,13 @@ class Kandinsky2_1:
         if sp_mesh is None:
             unet, movq = self.unet, self.movq
         else:
-            sp_n = sp_mesh.shape["sp"]
-            levels = len(self.unet.channel_mult)
-            need = sp_n * 2 ** (levels - 1)
-            if new_h % need != 0:
-                raise ValueError(
-                    f"latent height {new_h} must divide sp_axis*2^(levels-1)"
-                    f" = {need} for row-sharded generation"
-                )
+            from ..parallel.spatial import check_sp_rows
+
+            check_sp_rows(new_h, sp_mesh.shape["sp"],
+                          len(self.unet.channel_mult))
             unet = self.unet.clone(sp_axis="sp", parent=None)
             movq = self.movq.clone(sp_axis="sp", parent=None)
+        threshold_axis = None if sp_mesh is None else "sp"
 
         def fn(params, full_emb, pooled_emb, image_emb, guidance_scale, rng,
                x_T, inpaint_image, inpaint_mask):
@@ -467,6 +464,9 @@ class Kandinsky2_1:
                     clip_denoised=True, denoised_fn=denoised_fn,
                     init_step=init_step, channel_axis=-1,
                     model_state=model_state,
+                    # the dynamic-threshold percentile must span the FULL
+                    # image, not this device's row shard
+                    threshold_axis=threshold_axis,
                 )
             elif sampler == "ddim_sampler":
                 samples = ddim_loop(active_fn, tables, x_T,
@@ -519,7 +519,7 @@ class Kandinsky2_1:
         fn = self._jit(
             ("gen", sampler, num_steps, new_h, new_w, batch_size, init_step,
              inpainting, turbo_interval,
-             None if sp_mesh is None else sp_mesh.shape["sp"]),
+             None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat)),
             lambda: self._build_latent_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step, inpainting=inpainting,
@@ -715,10 +715,13 @@ class Kandinsky2_1:
         lo_h, lo_w = max(64, int(h * low_scale)), max(64, int(w * low_scale))
         low_sp = sp_mesh
         if sp_mesh is not None:
+            from ..parallel.spatial import sp_rows_ok
+
             # the low stage only shards if ITS latent height divides; the
             # full-res refine (the memory-critical stage) always does
-            need = sp_mesh.shape["sp"] * 2 ** (len(self.unet.channel_mult) - 1)
-            if get_new_h_w(lo_h, lo_w)[0] % need != 0:
+            if not sp_rows_ok(get_new_h_w(lo_h, lo_w)[0],
+                              sp_mesh.shape["sp"],
+                              len(self.unet.channel_mult)):
                 low_sp = None
         low = self.generate_img(
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,

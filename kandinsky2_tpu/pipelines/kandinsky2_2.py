@@ -394,14 +394,10 @@ class Kandinsky2_2:
         if sp_mesh is None:
             unet, movq = self.unet, self.movq
         else:
-            sp_n = sp_mesh.shape["sp"]
-            levels = len(self.unet.block_out_channels)
-            need = sp_n * 2 ** (levels - 1)
-            if lat_h % need != 0:
-                raise ValueError(
-                    f"latent height {lat_h} must divide sp_axis*2^(levels-1)"
-                    f" = {need} for row-sharded generation"
-                )
+            from ..parallel.spatial import check_sp_rows
+
+            check_sp_rows(lat_h, sp_mesh.shape["sp"],
+                          len(self.unet.block_out_channels))
             unet = self.unet.clone(sp_axis="sp", parent=None)
             movq = self.movq.clone(sp_axis="sp", parent=None)
 
@@ -510,7 +506,7 @@ class Kandinsky2_2:
         lat_h, lat_w = h // 8, w // 8
         key = ("dec22", task, steps, lat_h, lat_w, batch_size,
                None if ladder is None else len(ladder), turbo_interval,
-               sampler, None if sp_mesh is None else sp_mesh.shape["sp"])
+               sampler, None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat))
         fn = self._jit(
             key,
             lambda: self._build_decoder_fn(
@@ -644,11 +640,12 @@ class Kandinsky2_2:
         )
         low_sp = sp_mesh
         if sp_mesh is not None:
+            from ..parallel.spatial import sp_rows_ok
+
             # shard the low stage only if ITS latent height divides; the
             # full-res refine (the memory-critical stage) always does
-            levels = len(self.unet.block_out_channels)
-            need = sp_mesh.shape["sp"] * 2 ** (levels - 1)
-            if (lh // 8) % need != 0:
+            if not sp_rows_ok(lh // 8, sp_mesh.shape["sp"],
+                              len(self.unet.block_out_channels)):
                 low_sp = None
         low = self._decode_loop(
             embs, batch_size, low_steps or decoder_steps,

@@ -75,7 +75,9 @@ def make_handler(server: GenerationServer, timeout_s: float = 600.0):
                     image_mask=_decode_image(image_mask) if image_mask else None,
                     **req,
                 )
-            except (KeyError, ValueError, TypeError) as e:
+            except (KeyError, ValueError, TypeError, OSError) as e:
+                # OSError covers PIL.UnidentifiedImageError on undecodable
+                # image payloads — still a client error, answer 400
                 self._json(400, {"error": str(e)})
                 return
             try:

@@ -115,7 +115,12 @@ def make_unclip_train_step(
         return TrainState(
             params=params,
             opt_state=tx.init(params),
-            ema_params=params if ema_decay is not None else None,
+            # a COPY, not an alias: the SP path donates the TrainState, and
+            # XLA rejects donating the same buffer twice (params + ema)
+            ema_params=(
+                jax.tree_util.tree_map(jnp.array, params)
+                if ema_decay is not None else None
+            ),
             step=jnp.zeros((), jnp.int32),
             sampler_state=(
                 init_loss_aware(sched.num_timesteps)
@@ -200,15 +205,13 @@ def make_unclip_train_step(
             sampler_state = loss_aware_update(
                 sampler_state, t, terms["loss"], axis_name=data_axis
             )
-        metrics = {
-            "loss": loss,
-            "mse": jnp.mean(terms["mse"]) if "mse" in terms else loss,
-        }
+        metrics = {"mse": jnp.mean(terms["mse"]) if "mse" in terms else loss}
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"])
         if data_axis is not None:
-            # loss is already pmean'd; globalize the per-shard aux means too
+            # globalize the per-shard aux means (loss was already pmean'd)
             metrics = {k: jax.lax.pmean(v, data_axis) for k, v in metrics.items()}
+        metrics["loss"] = loss
         return (
             TrainState(
                 params=params, opt_state=opt_state, ema_params=ema_params,
@@ -258,13 +261,16 @@ def make_spdp_train_fn(
                 k: (P(data_axis, sp_axis) if v == 4 else P(data_axis))
                 for k, v in key
             }
+            # donate the incoming TrainState: this path exists for models
+            # whose memory doesn't fit — holding old+new state would double
+            # parameter/optimizer HBM
             cache[key] = jax.jit(jax.shard_map(
                 train_step,
                 mesh=mesh,
                 in_specs=(P(), specs, P()),
                 out_specs=(P(), P()),
                 check_vma=False,
-            ))
+            ), donate_argnums=(0,))
         return cache[key](state, batch, rng)
 
     return init_state, train_fn

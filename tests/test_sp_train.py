@@ -72,12 +72,16 @@ def spdp_run():
         unet, cfg["diffusion_config"], tx, mesh,
         schedule_sampler="loss-second-moment", ema_decay=0.999,
     )
-    state0 = init_state(params)
-    state1, metrics1 = train_fn(state0, batch, jax.random.PRNGKey(7))
-    # fresh state0 copy: the jitted step donates nothing here, but keep the
-    # original for the determinism assertion anyway
-    state1b, metrics1b = train_fn(init_state(params), batch, jax.random.PRNGKey(7))
-    state2, metrics2 = train_fn(state1, batch, jax.random.PRNGKey(7))
+    # the step donates its TrainState (the whole point of the SP path is
+    # fitting big states) — hand it copies, keep the originals for asserts
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    state1, metrics1 = train_fn(
+        init_state(copy(params)), batch, jax.random.PRNGKey(7)
+    )
+    state1b, metrics1b = train_fn(
+        init_state(copy(params)), batch, jax.random.PRNGKey(7)
+    )
+    state2, metrics2 = train_fn(copy(state1), batch, jax.random.PRNGKey(7))
     return dict(
         params=params, state1=state1, state2=state2,
         metrics1=metrics1, metrics1b=metrics1b, metrics2=metrics2,

@@ -158,7 +158,7 @@ def test_spatial_encode_rejects_odd_shards(movq_and_params):
     x = jnp.zeros((1, 72, 64, 3))  # 72 / 8 = 9 rows: odd at the first level
     from kandinsky2_tpu.parallel.spatial import spatial_encode
 
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="multiple"):
         spatial_encode(movq, params, x, sp_mesh(8), axis="sp")
 
 
@@ -333,6 +333,40 @@ def test_pipeline22_hires_sp_finite():
     )
     a = np.asarray(out[0])
     assert a.shape == (128, 128, 3)
+
+
+@pytest.mark.slow
+def test_pipeline21_sp_psampler_finite_and_mesh_keyed():
+    """2.1 p_sampler under SP (dynamic-threshold percentile gathered across
+    row shards), and the jit cache keys on mesh IDENTITY: a second mesh of
+    the same size must compile its own program, not silently reuse a
+    shard_map closed over the first mesh's devices."""
+    from jax.sharding import Mesh
+    from test_pipeline21 import StubBPETokenizer, StubHFTokenizer, tiny_config
+    from kandinsky2_tpu.pipelines import Kandinsky2_1
+
+    p = Kandinsky2_1(
+        config=tiny_config(), tokenizer1=StubHFTokenizer(),
+        tokenizer2=StubBPETokenizer(), dtype=jnp.float32,
+    )
+    p.init_random_params()
+    emb = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(61), (1, 32)),
+         jnp.zeros((1, 32))], axis=0
+    )
+    kw = dict(prompt="x", img_prompt=emb, batch_size=1, h=128, w=128,
+              sampler="p_sampler", num_steps=4)
+    mesh_a = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    mesh_b = Mesh(np.asarray(jax.devices()[4:8]), ("sp",))
+    out_a = p.generate_img(**kw, sp_mesh=mesh_a)
+    n_after_a = len(p._jit_cache)
+    out_b = p.generate_img(**kw, sp_mesh=mesh_b)
+    assert len(p._jit_cache) > n_after_a, (
+        "same-size mesh with different devices must not reuse the cached "
+        "shard_map"
+    )
+    for out in (out_a, out_b):
+        assert np.asarray(out[0]).shape == (128, 128, 3)
 
 
 @pytest.mark.slow
