@@ -61,6 +61,10 @@ def main():
                     help="build from real checkpoints cached in DIR "
                     "(layout of weights/hub.fetch_2_1); random weights + "
                     "stub tokenizers otherwise")
+    ap.add_argument("--tp", type=int, default=1, metavar="N",
+                    help="tensor-parallel: shard the pipeline over an N-way "
+                    "model mesh axis (pipe.shard) before measuring — for "
+                    "multi-chip hardware (needs >= N devices)")
     ap.add_argument("--stack", action="store_true",
                     help="preset: all opt-in levers stacked (2.1 only) — "
                     "karras 15 decoder steps + dpmpp-10 prior + turbo 3; "
@@ -206,6 +210,15 @@ def main():
             if not args.small else "5",
             guidance_scale=4, turbo_interval=args.turbo,
         )
+    if args.tp > 1:
+        import jax as _jax
+
+        if len(_jax.devices()) < args.tp:
+            sys.exit(f"--tp {args.tp} needs >= {args.tp} devices, "
+                     f"have {len(_jax.devices())}")
+        pipe.shard(model_parallel=args.tp,
+                   min_size=64 if args.small else 1024)
+
     t0 = time.time()
     pipe.generate_text2img("a portrait of a cosmonaut riding a horse", **kw)
     compile_time = time.time() - t0
@@ -225,7 +238,8 @@ def main():
             {
                 "metric": f"sec/image {args.res}^2 {args.steps}-step "
                 f"Kandinsky-{args.version} text2img "
-                "(prior+UNet+MoVQ e2e, bf16, 1 chip)"
+                "(prior+UNet+MoVQ e2e, bf16, "
+                + (f"TP={args.tp})" if args.tp > 1 else "1 chip)")
                 + (" [tiny-config smoke]" if args.small else "")
                 + (f" sampler={args.sampler}"
                    if args.sampler != "ddim_sampler" else "")
