@@ -125,18 +125,36 @@ class AttentionBlock(nn.Module):
         qkv = dense(3 * C, "qkv", self.dtype)(h)
         qkv = qkv.reshape(B, H * W, heads, 3 * ch)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.sp_axis is not None:
-            # exact softmax over the full image: local query rows attend to
-            # all-gathered K/V (row order == device order on the axis)
-            k = jax.lax.all_gather(k, self.sp_axis, axis=1, tiled=True)
-            v = jax.lax.all_gather(v, self.sp_axis, axis=1, tiled=True)
+        ek = ev = None
         if self.use_encoder_kv:
             ekv = dense(2 * C, "encoder_kv", self.dtype)(encoder_out)
             ekv = ekv.reshape(B, encoder_out.shape[1], heads, 2 * ch)
             ek, ev = jnp.split(ekv, 2, axis=-1)
-            k = jnp.concatenate([ek, k], axis=1)
-            v = jnp.concatenate([ev, v], axis=1)
-        a = qkv_attention(q, k, v)
+        ring = False
+        if self.sp_axis is not None:
+            from ..parallel.spatial import RING_THRESHOLD_TOKENS
+
+            n = jax.lax.axis_size(self.sp_axis)
+            ring = H * W * n > RING_THRESHOLD_TOKENS
+        if ring:
+            # exact ring attention: spatial K/V stay sharded (one ppermute
+            # hop per step), the replicated text tokens fold in first — no
+            # [B, T, heads, ch] full-image K/V gather at extreme resolutions
+            from ..parallel.spatial import sp_ring_attention_mh
+
+            a = sp_ring_attention_mh(
+                q, k, v, self.sp_axis, extra_k=ek, extra_v=ev
+            )
+        else:
+            if self.sp_axis is not None:
+                # exact softmax over the full image: local query rows attend
+                # to all-gathered K/V (row order == device order on the axis)
+                k = jax.lax.all_gather(k, self.sp_axis, axis=1, tiled=True)
+                v = jax.lax.all_gather(v, self.sp_axis, axis=1, tiled=True)
+            if self.use_encoder_kv:
+                k = jnp.concatenate([ek, k], axis=1)
+                v = jnp.concatenate([ev, v], axis=1)
+            a = qkv_attention(q, k, v)
         a = a.reshape(B, H * W, C)
         a = dense(C, "proj_out", self.dtype, zero_init=True)(a)
         return x + a.reshape(B, H, W, C)

@@ -260,6 +260,92 @@ def sp_ring_attention_rows(q, k, v, axis_name: str, q_chunk: int = 2048):
     return out.astype(v.dtype).reshape(B, Hl, W, C)
 
 
+def sp_ring_attention_mh(q, k, v, axis_name: str, extra_k=None, extra_v=None,
+                         q_chunk: int = 1024):
+    """Multi-head ring attention over row-sharded token sequences — the
+    UNet flavor of ``sp_ring_attention_rows``: softmax over [extra; spatial]
+    keys where ``extra_k``/``extra_v`` is a replicated prefix block (the
+    text/encoder tokens concatenated into spatial attention,
+    models/unet.py AttentionBlock) and the spatial K/V stay sharded,
+    travelling the ring one ``ppermute`` hop per step.
+
+    q: [B, Tl, H, c] local query rows; k/v: [B, Tl, H, c] local spatial K/V;
+    extra_k/extra_v: [B, E, H, c] replicated.  Matches ``qkv_attention``'s
+    scaling (q and k pre-scaled by 1/sqrt(sqrt(c))), fp32 accumulators,
+    output cast to v.dtype.  Exact softmax; memory O(q_chunk · Tl · H)
+    instead of the gathered path's [B, Tl·n, H, c] K/V + flash buffers.
+    Differentiable (scan + ppermute transpose); gradient parity is pinned in
+    tests/test_spatial_parallel.py.
+    """
+    import math
+
+    B, Tl, H, c = q.shape
+    n = jax.lax.axis_size(axis_name)
+    scale = 1.0 / math.sqrt(math.sqrt(c))
+    qf = q.astype(jnp.float32) * scale
+    kc0 = k.astype(jnp.float32) * scale
+    vc0 = v.astype(jnp.float32)
+
+    qc = min(q_chunk, Tl)
+    nq = -(-Tl // qc)
+    pad = nq * qc - Tl
+    if pad:
+        qf = jnp.pad(qf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qx = qf.reshape(B, nq, qc, H, c).transpose(1, 0, 2, 3, 4)
+
+    def fold(state, qq, kc, vc):
+        m, s, acc = state  # [B,qc,H], [B,qc,H], [B,qc,H,c]
+        logits = jnp.einsum(
+            "bthc,bshc->bths", qq, kc, preferred_element_type=jnp.float32
+        )
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        s_new = s * corr + p.sum(axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bths,bshc->bthc", p, vc
+        )
+        return (m_new, s_new, acc_new)
+
+    m0 = jnp.full((nq, B, qc, H), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((nq, B, qc, H), jnp.float32)
+    acc0 = jnp.zeros((nq, B, qc, H, c), jnp.float32)
+    state = (m0, s0, acc0)
+
+    if extra_k is not None:
+        ek = extra_k.astype(jnp.float32) * scale
+        ev = extra_v.astype(jnp.float32)
+
+        def qscan_extra(_, xs):
+            qstate, qq = xs
+            return None, fold(qstate, qq, ek, ev)
+
+        _, state = jax.lax.scan(qscan_extra, None, (state, qx))
+
+    ring = [(i, (i - 1) % n) for i in range(n)]
+
+    def ring_step(carry, _):
+        state, kc, vc = carry
+
+        def qscan(_, xs):
+            qstate, qq = xs
+            return None, fold(qstate, qq, kc, vc)
+
+        _, state = jax.lax.scan(qscan, None, (state, qx))
+        if n > 1:
+            kc = jax.lax.ppermute(kc, axis_name, ring)
+            vc = jax.lax.ppermute(vc, axis_name, ring)
+        return (state, kc, vc), None
+
+    (state, _, _), _ = jax.lax.scan(
+        ring_step, (state, kc0, vc0), None, length=n
+    )
+    _, s, acc = state
+    out = acc / s[..., None]  # [nq, B, qc, H, c]
+    out = out.transpose(1, 0, 2, 3, 4).reshape(B, nq * qc, H, c)[:, :Tl]
+    return out.astype(v.dtype)
+
+
 def spatial_decode(
     movq: nn.Module,
     params,

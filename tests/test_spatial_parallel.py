@@ -510,6 +510,108 @@ def test_ring_attention_query_chunking_and_dtype():
     )
 
 
+def test_sp_ring_attention_mh_matches_reference():
+    """Multi-head ring attention (spatial K/V ringed, replicated encoder
+    prefix folded first) == the plain softmax over [encoder; spatial] keys,
+    with qkv_attention's 1/sqrt(sqrt(c)) scaling — values AND gradients."""
+    from jax.sharding import PartitionSpec as P
+    from kandinsky2_tpu.ops.attention import qkv_attention
+    from kandinsky2_tpu.parallel.spatial import sp_ring_attention_mh
+
+    mesh = sp_mesh(4)
+    B, T, H, c, E = 2, 24, 3, 8, 5
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(70 + i), (B, T, H, c))
+        for i in range(3)
+    )
+    ek, ev = (
+        jax.random.normal(jax.random.PRNGKey(73 + i), (B, E, H, c))
+        for i in range(2)
+    )
+
+    def ref_fn(q, k, v, ek, ev):
+        out = qkv_attention(
+            q, jnp.concatenate([ek, k], axis=1),
+            jnp.concatenate([ev, v], axis=1),
+        )
+        return out, jnp.sum(out ** 2)
+
+    ref, ref_loss = ref_fn(q, k, v, ek, ev)
+    ref_grads = jax.grad(lambda *a: ref_fn(*a)[1], argnums=(0, 1, 2, 3, 4))(
+        q, k, v, ek, ev
+    )
+
+    def sp_fn(q, k, v, ek, ev):
+        out = sp_ring_attention_mh(q, k, v, "sp", extra_k=ek, extra_v=ev,
+                                   q_chunk=4)
+        loss = jax.lax.psum(jnp.sum(out ** 2), "sp")
+        grads = jax.grad(
+            lambda *a: jax.lax.psum(
+                jnp.sum(sp_ring_attention_mh(
+                    a[0], a[1], a[2], "sp", extra_k=a[3], extra_v=a[4],
+                    q_chunk=4,
+                ) ** 2), "sp"),
+            argnums=(0, 1, 2, 3, 4),
+        )(q, k, v, ek, ev)
+        # psum-transpose scales every cotangent by the axis size: sharded
+        # inputs (q/k/v rows) divide it back out, replicated inputs (ek/ev)
+        # pmean (sum of per-device contributions / n)
+        n = jax.lax.axis_size("sp")
+        grads = (grads[0] / n, grads[1] / n, grads[2] / n,
+                 jax.lax.pmean(grads[3], "sp"), jax.lax.pmean(grads[4], "sp"))
+        return out, loss, grads
+
+    row = P(None, "sp", None, None)
+    f = jax.shard_map(
+        sp_fn, mesh=mesh,
+        in_specs=(row, row, row, P(), P()),
+        out_specs=(row, P(), (row, row, row, P(), P())),
+        check_vma=False,
+    )
+    got, got_loss, got_grads = f(q, k, v, ek, ev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_spatial_unet_ring_attention_matches_single_device(monkeypatch):
+    """The UNet's SP attention routed through the ring (threshold forced to
+    0) still equals the single-device forward."""
+    from jax.sharding import PartitionSpec as P
+    from kandinsky2_tpu.models.unet import UNetModel
+    from kandinsky2_tpu.parallel import spatial
+
+    monkeypatch.setattr(spatial, "RING_THRESHOLD_TOKENS", 1)
+    unet = UNetModel(
+        in_channels=4, model_channels=32, out_channels=8, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=1,
+        num_head_channels=16, resblock_updown=True, use_encoder_kv=True,
+    )
+    B, H = 1, 16
+    x = jax.random.normal(jax.random.PRNGKey(80), (B, H, H, 4))
+    t = jnp.asarray([5.0])
+    enc = jax.random.normal(jax.random.PRNGKey(81), (B, 5, 32))
+    params = unet.init(jax.random.PRNGKey(82), x, t, enc)["params"]
+    ref = unet.apply({"params": params}, x, t, enc)
+
+    sp = unet.clone(sp_axis="sp", parent=None)
+    f = jax.shard_map(
+        lambda p, xx, tt, ee: sp.apply({"params": p}, xx, tt, ee),
+        mesh=sp_mesh(4),
+        in_specs=(P(), P(None, "sp", None, None), P(), P()),
+        out_specs=P(None, "sp", None, None),
+        check_vma=False,
+    )
+    got = f(params, x, t, enc)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
 @pytest.mark.slow
 def test_spatial_unet_gradients_match_single_device():
     """Gradients flow through the SP machinery (ppermute halos, psum'd
