@@ -1,6 +1,7 @@
 from .mesh import (
     ShardingReport,
     data_sharding,
+    fsdp_state_shardings,
     make_mesh,
     replicate,
     shard_params,

@@ -82,6 +82,7 @@ def make_unclip_train_step(
     data_axis: Optional[str] = None,
     sp_axis: Optional[str] = None,
     remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Build (init_state, train_step).  ``remat`` wraps the UNet forward in
     jax.checkpoint — required at full model size on a single chip (activation
@@ -99,6 +100,13 @@ def make_unclip_train_step(
     gathered-KV SP path (parallel/spatial.py), removing the single-chip
     activation-memory cap on training resolution.  Plain jit-over-Mesh data
     parallelism needs neither (XLA inserts the reductions itself).
+
+    ``accum_steps`` > 1 runs the forward/backward as a ``lax.scan`` over
+    that many microbatches (B divisible), accumulating gradients in fp32:
+    peak activation memory drops to one microbatch's while the update is
+    exactly the full-batch gradient (t/noise are drawn for the full batch
+    up front; equal slice sizes make the mean of slice-means the global
+    mean).  Composes with remat, SP, DP, and FSDP.
     """
     from ..configs import schedule_kwargs
 
@@ -138,24 +146,25 @@ def make_unclip_train_step(
             # one t per example across the whole sp group (same rng_t), but
             # independent noise per row shard: fold the shard index in
             rng_n = jax.random.fold_in(rng_n, jax.lax.axis_index(sp_axis))
-        x0 = batch["image_latents"].astype(jnp.float32)
-        B = x0.shape[0]
+        B = batch["image_latents"].shape[0]
         if schedule_sampler == "loss-second-moment":
             t, weights = loss_aware_sample(rng_t, state.sampler_state, B)
         else:
             t, weights = uniform_sample(rng_t, sched.num_timesteps, B)
-        noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
+        noise = jax.random.normal(
+            rng_n, batch["image_latents"].shape, jnp.float32
+        )
 
-        def loss_fn(params):
+        def loss_fn(params, mb, t_m, noise_m, weights_m):
             def raw_model_fn(params, x_t, t_model):
                 kwargs = dict(
-                    full_emb=batch["full_emb"],
-                    pooled_emb=batch["pooled_emb"],
-                    image_emb=batch["image_emb"],
+                    full_emb=mb["full_emb"],
+                    pooled_emb=mb["pooled_emb"],
+                    image_emb=mb["image_emb"],
                 )
                 if inpainting:
-                    kwargs["inpaint_image"] = batch["inpaint_image"]
-                    kwargs["inpaint_mask"] = batch["inpaint_mask"]
+                    kwargs["inpaint_image"] = mb["inpaint_image"]
+                    kwargs["inpaint_mask"] = mb["inpaint_mask"]
                 return unet.apply({"params": params}, x_t, t_model, **kwargs)
 
             if remat:
@@ -165,7 +174,8 @@ def make_unclip_train_step(
                 return raw_model_fn(params, x_t, t_model)
 
             terms = training_losses(
-                sched, model_fn, x0, t, noise,
+                sched, model_fn, mb["image_latents"].astype(jnp.float32),
+                t_m, noise_m,
                 mean_type=mean_type, var_type=var_type, loss_type=loss_type,
                 channel_axis=-1,
             )
@@ -175,12 +185,55 @@ def make_unclip_train_step(
                 terms = jax.tree_util.tree_map(
                     lambda v: jax.lax.pmean(v, sp_axis), terms
                 )
-            loss = jnp.mean(terms["loss"] * weights)
+            loss = jnp.mean(terms["loss"] * weights_m)
             return loss, terms
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if accum_steps == 1:
+            (loss, terms), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, t, noise, weights)
+        else:
+            # Gradient accumulation: scan over microbatches so peak
+            # activation (and remat-backward) memory is that of B/accum
+            # examples, while t/noise are drawn for the FULL batch first —
+            # the accumulated gradient equals the full-batch gradient
+            # exactly (equal slice sizes => mean of means is the mean).
+            if B % accum_steps:
+                raise ValueError(
+                    f"batch size {B} not divisible by accum_steps "
+                    f"{accum_steps}"
+                )
+
+            def slices(v):
+                return v.reshape((accum_steps, B // accum_steps) + v.shape[1:])
+
+            xs = {
+                "batch": jax.tree_util.tree_map(slices, batch),
+                "t": slices(t), "noise": slices(noise), "w": slices(weights),
+            }
+
+            def body(carry, xs_m):
+                g_acc, l_acc = carry
+                (l, terms_m), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, xs_m["batch"], xs_m["t"], xs_m["noise"],
+                  xs_m["w"])
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), terms_m
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (g_sum, l_sum), terms = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)), xs
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
+            loss = l_sum / accum_steps
+            # per-example terms come back (accum, B/accum) — flatten to (B,)
+            # in the original example order for the loss-aware sampler
+            terms = jax.tree_util.tree_map(
+                lambda v: v.reshape((B,) + v.shape[2:]), terms
+            )
         if sp_axis is not None:
             # Inside shard_map (check_vma=False) the forward pmean over the
             # sp axis transposes so each shard's param cotangent is exactly
@@ -276,6 +329,77 @@ def make_spdp_train_fn(
     return init_state, train_fn
 
 
+def make_fsdp_train_fn(
+    unet,
+    diffusion_config: dict,
+    tx: optax.GradientTransformation,
+    mesh,
+    *,
+    tp: bool = False,
+    min_elems: int = 1 << 16,
+    tp_min_size: int = 1024,
+    **step_kwargs,
+):
+    """(init_fn, train_fn, place_state) with the TrainState ZeRO-3-sharded
+    over the mesh's data axis (``parallel.fsdp_state_shardings``): parameter,
+    optimizer and EMA HBM all divide by the data-axis size, which is what
+    lets the full 1.22B decoder train WITH Adam moments and an EMA shadow on
+    a v5e-8 (replicated, params+Adam+EMA alone exceed a chip's HBM).
+
+    Unlike ``make_spdp_train_fn`` this is plain jit-over-Mesh — no axis names
+    in the step; XLA's SPMD partitioner inserts the parameter all-gathers and
+    gradient reduce-scatters over ICI from the input/output shardings alone
+    (the scaling-book FSDP recipe).  ``tp=True`` composes the tensor-parallel
+    kernel rule on the model axis with the FSDP shard on a remaining
+    dimension.  The numbers are bit-identical to the unsharded step — only
+    the layout changes (tests/test_fsdp_accum.py pins this).
+
+    ``train_fn(state, batch, rng)`` donates ``state``; batch leaves are
+    placed on the data axis.  ``place_state(state)`` (re)applies the state
+    shardings — use it after restoring a checkpoint.
+    """
+    from ..parallel.mesh import data_sharding, fsdp_state_shardings
+
+    init_state, train_step = make_unclip_train_step(
+        unet, diffusion_config, tx, **step_kwargs
+    )
+    cache: dict = {}
+
+    def shardings_for(state):
+        return fsdp_state_shardings(
+            state, mesh, tp=tp, min_elems=min_elems, tp_min_size=tp_min_size
+        )
+
+    def place_state(state):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), state, shardings_for(state)
+        )
+
+    def init_fn(params):
+        return place_state(init_state(params))
+
+    def train_fn(state, batch, rng):
+        key = tuple(sorted((k, v.shape) for k, v in batch.items()))
+        if key not in cache:
+            shardings = shardings_for(state)
+
+            def step_pinned(state, batch, rng):
+                new_state, metrics = train_step(state, batch, rng)
+                new_state = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, new_state, shardings
+                )
+                return new_state, metrics
+
+            cache[key] = jax.jit(step_pinned, donate_argnums=(0,))
+        batch = {
+            k: jax.device_put(v, data_sharding(mesh, v.ndim))
+            for k, v in batch.items()
+        }
+        return cache[key](state, batch, rng)
+
+    return init_fn, train_fn, place_state
+
+
 def train_unclip(
     *,
     unet,
@@ -296,6 +420,8 @@ def train_unclip(
     log_every: int = 50,
     remat: bool = False,
     mesh_shape: Optional[tuple] = None,
+    fsdp: Optional[int] = None,
+    accum_steps: int = 1,
 ):
     """Single-host training loop (trainer_2_1_uclip.py:39-81 semantics +
     atomic checkpointing).  ``prepare_batch(raw)`` runs the frozen encoders
@@ -305,6 +431,12 @@ def train_unclip(
     step (``make_spdp_train_fn``) over the first data*sp devices: batch
     divisible by ``data``, latent rows by ``sp * 2^(levels-1)``.  Either
     entry may be 1 (e.g. ``(1, 8)`` = pure row sharding).
+
+    ``fsdp=N`` instead ZeRO-shards the whole TrainState (params, optimizer
+    moments, EMA) over an N-device data axis (``make_fsdp_train_fn``) —
+    the path that fits full-size training state in per-chip HBM.
+    ``accum_steps`` scans the forward/backward over microbatches on any
+    path, cutting activation memory without changing the update.
 
     Resume is full-fidelity: the entire TrainState (params, optimizer state,
     EMA, sampler history, step-folded RNG position) is restored, so a
@@ -321,7 +453,22 @@ def train_unclip(
         tx = optax.adafactor(learning_rate=5e-6)  # train_configs default lr
     mask = decoder_freeze_mask(params, freeze_resblocks, freeze_attention)
     tx = masked_optimizer(tx, mask)
-    if mesh_shape is not None:
+    place_state = None
+    if fsdp is not None and mesh_shape is not None:
+        raise ValueError(
+            "fsdp and mesh_shape (spatial x data) are separate paths; "
+            "pick one"
+        )
+    if fsdp is not None:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(fsdp, model_parallel=1)
+        init_state, train_step, place_state = make_fsdp_train_fn(
+            unet, diffusion_config, tx, mesh,
+            schedule_sampler=schedule_sampler, ema_decay=ema_decay,
+            inpainting=inpainting, remat=remat, accum_steps=accum_steps,
+        )
+    elif mesh_shape is not None:
         import numpy as _np
         from jax.sharding import Mesh
 
@@ -336,18 +483,23 @@ def train_unclip(
         init_state, train_step = make_spdp_train_fn(
             unet, diffusion_config, tx, mesh,
             schedule_sampler=schedule_sampler, ema_decay=ema_decay,
-            inpainting=inpainting, remat=remat,
+            inpainting=inpainting, remat=remat, accum_steps=accum_steps,
         )
     else:
         init_state, train_step = make_unclip_train_step(
             unet, diffusion_config, tx, schedule_sampler=schedule_sampler,
             ema_decay=ema_decay, inpainting=inpainting, remat=remat,
+            accum_steps=accum_steps,
         )
         train_step = jax.jit(train_step)
     state = init_state(params)
     state_file, start_step = latest_train_state(save_path)
     if state_file:
         state = restore_train_state(state_file, state)
+        if place_state is not None:
+            # restoring materializes replicated arrays; re-apply the ZeRO
+            # shardings so the resumed run keeps the FSDP memory footprint
+            state = place_state(state)
     rng = jax.random.PRNGKey(seed)
     step = start_step
     for _ in range(num_epochs):

@@ -146,11 +146,15 @@ def main():
         freeze_resblocks=cfg["freeze"]["freeze_resblocks"],
         freeze_attention=cfg["freeze"]["freeze_attention"],
         remat=bool(cfg.get("remat", False)),
-        # parallel: {data: D, sp: S} -> shard_map'ed spatial x data step
+        # parallel: {data: D, sp: S} -> shard_map'ed spatial x data step;
+        # parallel: {fsdp: N} -> ZeRO-sharded TrainState over N devices
         mesh_shape=(
             (cfg["parallel"].get("data", 1), cfg["parallel"].get("sp", 1))
-            if cfg.get("parallel") else None
+            if cfg.get("parallel") and "fsdp" not in cfg.get("parallel", {})
+            else None
         ),
+        fsdp=(cfg.get("parallel") or {}).get("fsdp"),
+        accum_steps=int(cfg.get("accum_steps", 1)),
     )
 
 
