@@ -89,6 +89,21 @@ class GenerationServer:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "coalesced": 0,
+                       "padded": 0, "errors": 0}
+
+    def stats(self) -> Dict[str, float]:
+        """Serving counters since start: requests served, device batches
+        issued, requests that shared a batch with another user, padding rows
+        spent rounding to buckets, errors, current queue depth, and the
+        coalescing ratio (requests per device batch)."""
+        with self._stats_lock:
+            s = dict(self._stats)
+        s["queue_depth"] = self._queue.qsize()
+        s["coalesce_ratio"] = (
+            s["requests"] / s["batches"] if s["batches"] else 0.0)
+        return s
 
     # ------------------------------------------------------------------
 
@@ -206,6 +221,14 @@ class GenerationServer:
                 # sizes 3, 5, 6... reuse the 4- and 8-wide executables
                 task = batch[0].task
                 kw = batch[0].kwargs
+                with self._stats_lock:
+                    self._stats["requests"] += len(batch)
+                    self._stats["batches"] += 1
+                    if len(batch) > 1:
+                        self._stats["coalesced"] += len(batch)
+                    if batch[0].coalescable:
+                        self._stats["padded"] += (
+                            self._bucket_for(len(batch)) - len(batch))
                 if task == "inpainting":
                     r = batch[0]
                     images = self.pipeline.generate_inpainting(
@@ -228,6 +251,8 @@ class GenerationServer:
                 for req, img in zip(batch, images):
                     req.future.set_result([img])
             except Exception as e:  # pragma: no cover - error propagation
+                with self._stats_lock:
+                    self._stats["errors"] += 1
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)

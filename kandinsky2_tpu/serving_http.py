@@ -108,6 +108,25 @@ def serve_http(server: GenerationServer, host: str = "0.0.0.0",
     return httpd
 
 
+def parse_warmup_spec(spec: str) -> dict:
+    """``"h=768,w=768,num_steps=50,task=img2img"`` -> kwargs dict for
+    ``GenerationServer.warmup``.  Integer-looking values become ints so they
+    match the static shape keys real requests produce."""
+    out = {}
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        if "=" not in item:
+            raise ValueError(f"warmup spec item {item!r} is not key=value")
+        k, v = item.split("=", 1)
+        try:
+            out[k.strip()] = int(v)
+        except ValueError:
+            out[k.strip()] = v.strip()
+    return out
+
+
 def main(argv: Optional[list] = None) -> None:
     import argparse
 
@@ -118,6 +137,13 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--small", action="store_true",
                     help="tiny random-weight pipeline (no checkpoints)")
     ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--warmup", action="append", default=[],
+                    metavar="SPEC",
+                    help='precompile a serving set before binding the port; '
+                         'repeatable, e.g. --warmup "h=768,w=768,num_steps=50" '
+                         '--warmup "h=512,w=512,task=img2img".  Compiled '
+                         'executables land in the persistent cache, so later '
+                         'restarts warm instantly.')
     args = ap.parse_args(argv)
 
     if args.small:
@@ -135,9 +161,16 @@ def main(argv: Optional[list] = None) -> None:
 
         pipe = get_kandinsky2(task_type="text2img",
                               model_version=args.version)
+    server = GenerationServer(pipe, max_batch=args.max_batch)
+    if args.warmup:
+        import time
+
+        t0 = time.perf_counter()
+        server.warmup([parse_warmup_spec(s) for s in args.warmup])
+        print(f"warmup: {len(args.warmup)} serving set(s) compiled in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
     print(f"serving {args.version} on {args.host}:{args.port}", flush=True)
-    serve_http(GenerationServer(pipe, max_batch=args.max_batch),
-               host=args.host, port=args.port)
+    serve_http(server, host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

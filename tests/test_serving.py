@@ -238,3 +238,21 @@ def test_http_serving_end_to_end():
     finally:
         httpd.shutdown()
         server.stop()
+
+
+def test_parse_warmup_spec():
+    """The serving CLI's --warmup specs become warmup kwargs: ints where the
+    value looks numeric (matching real request shape keys), strings
+    otherwise, task= passed through."""
+    from kandinsky2_tpu.serving_http import parse_warmup_spec
+
+    assert parse_warmup_spec("h=768,w=768,num_steps=50") == {
+        "h": 768, "w": 768, "num_steps": 50}
+    assert parse_warmup_spec("h=64, w=64, task=img2img, sampler=ddim_sampler") == {
+        "h": 64, "w": 64, "task": "img2img", "sampler": "ddim_sampler"}
+    assert parse_warmup_spec("prior_steps=dpmpp10,") == {
+        "prior_steps": "dpmpp10"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_warmup_spec("h:768")
