@@ -76,11 +76,17 @@ def get_kandinsky2(
             use_flash_attention=use_flash_attention, dtype=dtype,
         )
     if model_version == "2.2":
-        from .pipelines.kandinsky2_2 import Kandinsky2_2
+        # 2.2 checkpoints are diffusers-format snapshots; fetch the prior and
+        # task-matched decoder repos and assemble a loaded pipeline, matching
+        # the reference one-liner (kandinsky2_2_model.py:17-44).
+        from .weights.hub import fetch_2_2
+        from .weights.load_kandinsky22 import build_kandinsky22
 
-        # 2.2 checkpoints are diffusers-format; conversion of those repos is
-        # wired through weights.hub.KANDINSKY_22_REPOS.
-        return Kandinsky2_2(task_type=task_type)
+        paths = fetch_2_2(cache_dir, task_type, use_auth_token)
+        return build_kandinsky22(
+            paths["prior_dir"], paths["decoder_dir"],
+            task_type=task_type, dtype=dtype,
+        )
     if model_version == "2.0":
         from .pipelines.kandinsky2_0 import get_kandinsky2_0
 

@@ -65,20 +65,28 @@ def _clean(text: str) -> str:
 class CLIPBPETokenizer:
     """CLIP BPE with the reference's padding contract."""
 
-    def __init__(self, bpe_path: str):
+    def __init__(self, bpe_path: str, vocab_path: str | None = None):
         if bpe_path.endswith(".gz"):
             merges_txt = gzip.open(bpe_path, "rt", encoding="utf-8").read()
         else:
             merges_txt = open(bpe_path, encoding="utf-8").read()
         merges = merges_txt.split("\n")[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        merges = [tuple(m.split()) for m in merges if m.strip()]
         self.byte_encoder = _bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
-        vocab = list(self.byte_encoder.values())
-        vocab = vocab + [v + "</w>" for v in vocab]
-        vocab += ["".join(m) for m in merges]
-        vocab += ["<|startoftext|>", "<|endoftext|>"]
-        self.encoder = dict(zip(vocab, range(len(vocab))))
+        if vocab_path is not None:
+            # HF CLIPTokenizer snapshot (vocab.json): authoritative token→id
+            # map; merges still drive the BPE joins
+            import json
+
+            with open(vocab_path, encoding="utf-8") as f:
+                self.encoder = json.load(f)
+        else:
+            vocab = list(self.byte_encoder.values())
+            vocab = vocab + [v + "</w>" for v in vocab]
+            vocab += ["".join(m) for m in merges]
+            vocab += ["<|startoftext|>", "<|endoftext|>"]
+            self.encoder = dict(zip(vocab, range(len(vocab))))
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self._cache = {
@@ -137,6 +145,16 @@ class CLIPBPETokenizer:
         text = "".join(self.decoder[int(t)] for t in tokens)
         data = bytearray(self.byte_decoder[c] for c in text)
         return data.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    @classmethod
+    def from_hf_dir(cls, tokenizer_dir: str) -> "CLIPBPETokenizer":
+        """Build from an HF CLIPTokenizer snapshot dir (the 2.2 prior repo's
+        ``tokenizer/`` subfolder: merges.txt + vocab.json)."""
+        import os
+
+        merges = os.path.join(tokenizer_dir, "merges.txt")
+        vocab = os.path.join(tokenizer_dir, "vocab.json")
+        return cls(merges, vocab_path=vocab if os.path.exists(vocab) else None)
 
     def padded_tokens_and_mask(self, texts, text_ctx: int):
         """sot + bpe + eot, truncated so eot survives; bool mask

@@ -203,12 +203,15 @@ def validate(version: str = "2.1", task_type: str = "text2img",
                 paths, task_type=task_type))
         elif version == "2.2":
             # 2.2 weights live in diffusers snapshots (prior + decoder repos);
-            # point cache_dir at a directory containing prior/ and decoder/
+            # fetch_2_2 downloads them under <cache_dir>/2_2 (a pre-populated
+            # cache with the same layout is used as-is)
+            from .weights.hub import fetch_2_2
             from .weights.load_kandinsky22 import build_kandinsky22
 
+            paths = _stage(report, "fetch", lambda: fetch_2_2(
+                cache_dir, task_type, use_auth_token))
             pipe = _stage(report, "build", lambda: build_kandinsky22(
-                os.path.join(cache_dir, "prior"),
-                os.path.join(cache_dir, "decoder"),
+                paths["prior_dir"], paths["decoder_dir"],
                 task_type=task_type))
         else:
             raise ValueError(f"unknown version {version!r}")

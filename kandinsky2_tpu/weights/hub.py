@@ -114,3 +114,114 @@ KANDINSKY_22_REPOS = {
     "decoder-inpaint": "kandinsky-community/kandinsky-2-2-decoder-inpaint",
     "controlnet-depth": "kandinsky-community/kandinsky-2-2-controlnet-depth",
 }
+
+# decoder repo key by pipeline task (kandinsky2_2_model.py:26-42: text2img /
+# img2img / mix share the base decoder; inpainting and controlnet-depth have
+# their own UNet repos)
+_DECODER_KEY_BY_TASK = {
+    "text2img": "decoder",
+    "img2img": "decoder",
+    "inpainting": "decoder-inpaint",
+    "controlnet": "controlnet-depth",
+}
+
+# per-subfolder file manifests of the diffusers snapshots.  Inner tuples are
+# alternatives tried in order (safetensors exports vs older .bin exports).
+_PRIOR_SUBFOLDERS = {
+    "prior": [
+        "config.json",
+        ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin"),
+    ],
+    "image_encoder": [
+        "config.json",
+        ("model.safetensors", "pytorch_model.bin"),
+    ],
+    "text_encoder": [
+        "config.json",
+        ("model.safetensors", "pytorch_model.bin"),
+    ],
+    "tokenizer": [
+        "vocab.json",
+        "merges.txt",
+        "tokenizer_config.json",
+        "special_tokens_map.json",
+    ],
+}
+_DECODER_SUBFOLDERS = {
+    "unet": [
+        "config.json",
+        ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin"),
+    ],
+    "movq": [
+        "config.json",
+        ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin"),
+    ],
+}
+
+
+def _hf_download_any(repo_id: str, filenames, dest_dir: str,
+                     use_auth_token=None) -> str:
+    """Download the first of ``filenames`` that exists in ``repo_id``,
+    into ``dest_dir`` keeping the basename.  Short-circuits offline when any
+    candidate is already cached locally."""
+    if isinstance(filenames, str):
+        filenames = (filenames,)
+    for name in filenames:
+        dest = os.path.join(dest_dir, os.path.basename(name))
+        if os.path.exists(dest):
+            return dest
+    last_err = None
+    for name in filenames:
+        dest = os.path.join(dest_dir, os.path.basename(name))
+        try:
+            return _hf_download(repo_id, name, dest, use_auth_token)
+        except Exception as e:  # missing-on-hub or transient; try the next
+            last_err = e
+    raise FileNotFoundError(
+        f"none of {filenames} available from {repo_id}: {last_err}"
+    )
+
+
+def _fetch_snapshot(repo_id: str, local_dir: str, manifest: dict,
+                    use_auth_token=None) -> str:
+    for subfolder, files in manifest.items():
+        sub_dir = os.path.join(local_dir, subfolder)
+        for entry in files:
+            names = entry if isinstance(entry, tuple) else (entry,)
+            _hf_download_any(
+                repo_id, tuple(f"{subfolder}/{n}" for n in names),
+                sub_dir, use_auth_token,
+            )
+    return local_dir
+
+
+def fetch_2_2(cache_dir: str = "/tmp/kandinsky2", task_type: str = "text2img",
+              use_auth_token=None) -> dict:
+    """Download the 2.2 diffusers snapshots the task needs (reference
+    kandinsky2/kandinsky2_2_model.py:17-44 ``from_pretrained``s the prior
+    repo's image_encoder/text_encoder/tokenizer/prior and the decoder repo's
+    unet/movq).  Layout: ``<cache_dir>/2_2/{prior,<decoder-key>}/<subfolder>``.
+
+    Returns ``{"prior_dir", "decoder_dir", "tokenizer_dir"}`` — the local
+    snapshot dirs ``load_kandinsky22.build_kandinsky22`` consumes.  A cache
+    pre-populated with the same layout is used as-is (no network touched)."""
+    if task_type not in _DECODER_KEY_BY_TASK:
+        raise ValueError(
+            f"unknown 2.2 task_type {task_type!r}; "
+            f"one of {sorted(_DECODER_KEY_BY_TASK)}"
+        )
+    cd = os.path.join(cache_dir, "2_2")
+    decoder_key = _DECODER_KEY_BY_TASK[task_type]
+    prior_dir = _fetch_snapshot(
+        KANDINSKY_22_REPOS["prior"], os.path.join(cd, "prior"),
+        _PRIOR_SUBFOLDERS, use_auth_token,
+    )
+    decoder_dir = _fetch_snapshot(
+        KANDINSKY_22_REPOS[decoder_key], os.path.join(cd, decoder_key),
+        _DECODER_SUBFOLDERS, use_auth_token,
+    )
+    return {
+        "prior_dir": prior_dir,
+        "decoder_dir": decoder_dir,
+        "tokenizer_dir": os.path.join(prior_dir, "tokenizer"),
+    }

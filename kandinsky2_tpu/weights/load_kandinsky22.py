@@ -133,6 +133,12 @@ def build_kandinsky22(
     from ..pipelines.kandinsky2_2 import Kandinsky2_2
     from .configs22 import pipeline_overrides
 
+    if tokenizer is None and os.path.isdir(os.path.join(prior_dir, "tokenizer")):
+        from ..tokenizers.clip_bpe import CLIPBPETokenizer
+
+        tokenizer = CLIPBPETokenizer.from_hf_dir(
+            os.path.join(prior_dir, "tokenizer")
+        )
     unet_sd = _load_diffusers_sd(decoder_dir, "unet")
     overrides = pipeline_overrides(
         prior_dir, decoder_dir, task_type, unet_sd=unet_sd
