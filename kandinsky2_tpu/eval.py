@@ -10,9 +10,11 @@ the runtime metrics for validating real checkpoints:
 * clip_perceptual_distance — cosine distance between pooled CLIP image
   embeddings from the pipeline's own (jitted) vision tower.  This is a
   *semantic drift* gate, NOT LPIPS: it uses one pooled embedding, so it will
-  not resolve 0.02-level texture differences.  The BASELINE LPIPS gate needs
-  real LPIPS (torchvision VGG/Alex weights) once the network exists —
-  ``validate.py`` reports both and labels them honestly.
+  not resolve 0.02-level texture differences.
+
+The BASELINE LPIPS gate itself is code-complete in ``kandinsky2_tpu.lpips``
+(native JAX AlexNet-LPIPS + torch-weight converter); ``validate.py
+--lpips-weights FILE`` runs it the moment converted weights exist.
 """
 
 from __future__ import annotations

@@ -11,10 +11,11 @@ environment allows and reports exactly where it stopped):
                   (weights/load_kandinsky*.py).
 3. **generate** — seeded generation at a fixed prompt/size/steps.
 4. **metrics**  — PSNR / windowed SSIM / CLIP-cosine drift vs stored
-                  reference images (``--reference-dir``).  Real LPIPS runs
-                  when the optional ``lpips`` or ``torchvision`` packages
-                  exist; otherwise the report marks the BASELINE LPIPS<0.02
-                  gate as *not evaluated* rather than faking it.
+                  reference images (``--reference-dir``).  The BASELINE
+                  LPIPS<0.02 gate runs natively in JAX with
+                  ``--lpips-weights FILE`` (converted once via ``python -m
+                  kandinsky2_tpu.lpips``); without weights the report marks
+                  it *not evaluated* rather than faking it.
 5. **report**   — one JSON document with per-stage status.
 
 Offline environments (no network) complete stage 0 (plumbing) and stop at
@@ -112,9 +113,22 @@ def run_generation_22(pipe, *, h: int = 256, w: int = 256,
 
 
 def run_metrics(report: dict, images, reference_dir: Optional[str],
-                out_dir: str, pipe=None) -> None:
-    """Stage 4: save outputs; compare against stored reference images."""
+                out_dir: str, pipe=None,
+                lpips_weights: Optional[str] = None) -> None:
+    """Stage 4: save outputs; compare against stored reference images.
+
+    ``lpips_weights``: path to a converted LPIPS safetensors file
+    (``python -m kandinsky2_tpu.lpips --alex ... --lin ... --out FILE``);
+    when given, the BASELINE LPIPS<0.02 gate runs natively in JAX with no
+    torch/lpips dependency."""
     from .eval import clip_perceptual_distance, ms_ssim, psnr, ssim
+
+    native_lpips = None
+    if lpips_weights:
+        from .lpips import lpips_images, load_lpips_weights
+
+        _lp_params = load_lpips_weights(lpips_weights)
+        native_lpips = lambda x, y: lpips_images(_lp_params, x, y)
 
     os.makedirs(out_dir, exist_ok=True)
     out_paths = []
@@ -149,14 +163,21 @@ def run_metrics(report: dict, images, reference_dir: Optional[str],
             # (the LPIPS gate proper still needs the lpips package)
             "ms_ssim": round(ms_ssim(a, b), 5),
         }
-        lp = compute_lpips(im, ref)
+        if native_lpips is not None:
+            lp = native_lpips(im, ref)
+            m["lpips_backend"] = "native-jax"
+        else:
+            lp = compute_lpips(im, ref)
+            if lp is not None:
+                m["lpips_backend"] = "lpips-pkg"
         if lp is not None:
             m["lpips_alex"] = round(lp, 5)
             m["lpips_gate_0.02"] = bool(lp < 0.02)
         else:
             m["lpips_alex"] = None
             m["lpips_gate_0.02"] = (
-                "not evaluated: lpips/torchvision unavailable in this image"
+                "not evaluated: pass --lpips-weights FILE (converted via "
+                "python -m kandinsky2_tpu.lpips) or install lpips"
             )
         if pipe is not None and hasattr(pipe, "encode_images"):
             m["clip_cosine_drift"] = round(
@@ -171,7 +192,8 @@ def validate(version: str = "2.1", task_type: str = "text2img",
              reference_dir: Optional[str] = None, h: int = 256, w: int = 256,
              num_steps: int = 20, sampler: Optional[str] = None,
              use_auth_token=None,
-             pipe_builder: Optional[Callable] = None) -> dict:
+             pipe_builder: Optional[Callable] = None,
+             lpips_weights: Optional[str] = None) -> dict:
     """Run the full validation ladder; returns the report dict.
 
     ``pipe_builder`` overrides stages 1-2 (the offline test injects a tiny
@@ -226,7 +248,8 @@ def validate(version: str = "2.1", task_type: str = "text2img",
                 sampler=sampler or "ddim_sampler"))
         _stage(report, "metrics", lambda: run_metrics(
             report, images, reference_dir, out_dir,
-            pipe=pipe if version != "2.2" else None))
+            pipe=pipe if version != "2.2" else None,
+            lpips_weights=lpips_weights))
         report["ok"] = True
     except _StopValidation as stop:
         report["stopped_at"] = stop.stage
@@ -251,6 +274,10 @@ def main(argv=None) -> int:
     ap.add_argument("--sampler", default=None,
                     help="override the sampler (e.g. dpmpp_sampler / dpmpp) "
                     "for sampler-quality comparisons against a reference set")
+    ap.add_argument("--lpips-weights", default=None,
+                    help="converted LPIPS safetensors (python -m "
+                    "kandinsky2_tpu.lpips --alex ... --lin ... --out FILE); "
+                    "runs the BASELINE LPIPS<0.02 gate natively in JAX")
     args = ap.parse_args(argv)
 
     report = validate(
@@ -258,6 +285,7 @@ def main(argv=None) -> int:
         cache_dir=args.cache_dir, out_dir=args.out_dir,
         reference_dir=args.reference_dir, h=args.h, w=args.w,
         num_steps=args.num_steps, sampler=args.sampler,
+        lpips_weights=args.lpips_weights,
     )
     text = json.dumps(report, indent=2, default=str)
     print(text)
