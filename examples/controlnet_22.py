@@ -1,7 +1,9 @@
 """2.2 ControlNet-depth, full notebook flow (reference
 notebooks/kandinsky2_2_controlnet.ipynb): RGB photo -> depth hint
-(``kandinsky2_tpu.depth.make_hint``; plug a converted MiDaS via estimator= for
-reference-grade depth) -> emb2emb priors -> ControlNet img2img decoder.
+(``kandinsky2_tpu.depth.make_hint``; reference-grade DPT depth runs
+automatically when $KANDINSKY2_DPT_DIR points at a snapshot fetched via
+``weights.hub.fetch_dpt`` — the heuristic is the weightless fallback) ->
+emb2emb priors -> ControlNet img2img decoder.
 
 Pass ``--image photo.jpg`` to control a real photograph; without it a small
 procedural scene (sky / ground / box) is rendered so the script runs offline.

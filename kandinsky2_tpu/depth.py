@@ -7,15 +7,19 @@ same hint contract without the network-gated MiDaS weights:
 
 * :func:`make_hint` — the notebook's hint formatting: any HxW depth map ->
   float32 [H, W, 3] in [0, 1] (channels replicated), resized to the target.
+* :func:`dpt_estimator` — the REAL estimator: a converted DPT
+  (models/dpt.py, parity-tested against transformers' torch
+  DPTForDepthEstimation) built from a local HF snapshot
+  (``weights.hub.fetch_dpt``); preprocessing host-side, inference jitted.
 * :func:`heuristic_depth` — a documented, deterministic NON-PARITY fallback
   estimator built from classic monocular cues (ground-plane vertical prior,
   local sharpness, luma).  It produces a smooth, plausible depth field good
   enough to drive the ControlNet stack end-to-end offline; it is NOT MiDaS
   and makes no quality claim against it.
 * a pluggable estimator hook: any callable ``pil_image -> HxW float array``
-  (e.g. a converted MiDaS once its weights are available, loaded via
-  ``weights/convert.py`` like every other torch checkpoint) drops into
-  :func:`make_hint` via ``estimator=``.
+  drops into :func:`make_hint` via ``estimator=``;
+  :func:`default_estimator` picks the DPT when ``$KANDINSKY2_DPT_DIR`` (or
+  an explicit dir) holds a snapshot, the heuristic otherwise.
 
 Everything here is numpy preprocessing on the host — depth never enters the
 jitted programs except as the finished hint tensor.
@@ -23,11 +27,13 @@ jitted programs except as the finished hint tensor.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable, Optional
 
 import numpy as np
 
-__all__ = ["heuristic_depth", "make_hint"]
+__all__ = ["heuristic_depth", "make_hint", "dpt_estimator", "default_estimator"]
 
 
 def _box_blur(x: np.ndarray, radius: int) -> np.ndarray:
@@ -105,6 +111,76 @@ def _resize_bilinear(x: np.ndarray, h: int, w: int) -> np.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def dpt_estimator(repo_dir: str, dtype=None) -> Callable:
+    """Build a reference-grade depth estimator from a local HF DPT snapshot
+    (config.json + model.safetensors / pytorch_model.bin, e.g.
+    Intel/dpt-large fetched via ``weights.hub.fetch_dpt``).
+
+    Returns a callable ``image -> [H, W] float32`` relative inverse depth
+    (MiDaS convention) that preprocesses host-side (bicubic resize to the
+    model's native square size, (x/255 - 0.5)/0.5) and runs the jitted
+    :class:`models.dpt.DPTDepth` on the device — the drop-in ``estimator=``
+    for :func:`make_hint`, replacing the heuristic with the trained model
+    the reference notebook uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.dpt import DPTDepth, dpt_overrides
+    from .weights.convert import convert_state_dict
+
+    with open(os.path.join(repo_dir, "config.json")) as f:
+        cfg = json.load(f)
+    model = DPTDepth(dtype=dtype or jnp.float32, **dpt_overrides(cfg))
+
+    st = os.path.join(repo_dir, "model.safetensors")
+    if os.path.exists(st):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st)
+    else:
+        import torch
+
+        sd = torch.load(os.path.join(repo_dir, "pytorch_model.bin"),
+                        map_location="cpu", weights_only=False)
+    size = model.image_size
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)))["params"]
+    )
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_state_dict(sd, shapes, strict=True)
+    )
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    def estimate(image) -> np.ndarray:
+        from PIL import Image
+
+        if not isinstance(image, Image.Image):
+            arr = np.asarray(image)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
+                              0, 255).astype(np.uint8)
+            image = Image.fromarray(arr)
+        im = image.convert("RGB").resize((size, size), Image.BICUBIC)
+        x = np.asarray(im, np.float32)[None] / 255.0
+        x = (x - 0.5) / 0.5
+        return np.asarray(fwd(params, jnp.asarray(x))[0], np.float32)
+
+    estimate.model = model
+    estimate.params = params
+    return estimate
+
+
+def default_estimator(repo_dir: Optional[str] = None) -> Callable:
+    """The best available estimator: converted DPT when a snapshot exists
+    (``repo_dir`` or ``$KANDINSKY2_DPT_DIR``), else the documented
+    heuristic."""
+    repo_dir = repo_dir or os.environ.get("KANDINSKY2_DPT_DIR")
+    if repo_dir and os.path.exists(os.path.join(repo_dir, "config.json")):
+        return dpt_estimator(repo_dir)
+    return heuristic_depth
+
+
 def make_hint(
     image,
     h: Optional[int] = None,
@@ -116,9 +192,10 @@ def make_hint(
     Mirrors the reference notebook's ``make_hint`` (depth map -> HWC3 ->
     /255 in torch CHW; ours is NHWC): the depth channel is replicated to 3
     channels and normalized to [0, 1].  ``estimator`` maps a PIL/array image
-    to an HxW depth map (defaults to :func:`heuristic_depth`); pass a
-    converted MiDaS for reference-grade hints."""
-    estimator = estimator or heuristic_depth
+    to an HxW depth map; the default is :func:`default_estimator` — the
+    converted DPT when ``$KANDINSKY2_DPT_DIR`` points at a snapshot, else
+    the heuristic."""
+    estimator = estimator or default_estimator()
     depth = np.asarray(estimator(image), np.float32)
     if depth.ndim == 3:
         depth = depth[..., 0]

@@ -195,6 +195,24 @@ def _fetch_snapshot(repo_id: str, local_dir: str, manifest: dict,
     return local_dir
 
 
+# depth producer for the ControlNet-depth task (the reference notebook runs
+# MiDaS/DPT host-side; we fetch the pure-ViT DPT the flax port supports)
+DPT_REPO = "Intel/dpt-large"
+
+
+def fetch_dpt(cache_dir: str = "/tmp/kandinsky2", repo_id: str = DPT_REPO,
+              use_auth_token=None) -> str:
+    """Download a HF DPT depth snapshot; returns the local dir for
+    ``depth.dpt_estimator`` (pre-populated caches short-circuit offline)."""
+    local = os.path.join(cache_dir, "dpt", repo_id.replace("/", "__"))
+    _hf_download_any(repo_id, "config.json", local, use_auth_token)
+    _hf_download_any(
+        repo_id, ("model.safetensors", "pytorch_model.bin"), local,
+        use_auth_token,
+    )
+    return local
+
+
 def fetch_2_2(cache_dir: str = "/tmp/kandinsky2", task_type: str = "text2img",
               use_auth_token=None) -> dict:
     """Download the 2.2 diffusers snapshots the task needs (reference
