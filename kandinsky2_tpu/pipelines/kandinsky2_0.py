@@ -38,6 +38,7 @@ from ..models.t5 import T5Encoder
 from ..models.text_encoders import TextEncoder
 from ..utils import (
     as_prompt_list,
+    check_noise,
     get_new_h_w,
     prepare_image,
     prepare_mask,
@@ -216,7 +217,7 @@ class Kandinsky2:
 
     def _build_gen_fn(self, *, sampler, num_steps, new_h, new_w, batch_size,
                       init_step, inpainting, ddim_eta, denoised_type,
-                      dynamic_threshold_v, sp_mesh=None):
+                      dynamic_threshold_v, sp_mesh=None, with_nseq=False):
         dkw = schedule_kwargs(
             self._diff_cfg, str(num_steps) if sampler == "p_sampler" else ""
         )
@@ -250,7 +251,7 @@ class Kandinsky2:
         threshold_axis = None if sp_mesh is None else "sp"
 
         def fn(params, full1, pooled1, full2, g, rng, x_T, inpaint_image,
-               inpaint_mask):
+               inpaint_mask, nseq=None):
             if sp_mesh is not None and (
                 sampler == "p_sampler"
                 or (sampler == "ddim_sampler" and ddim_eta != 0.0)
@@ -306,10 +307,11 @@ class Kandinsky2:
                     mean_type=dkw["mean_type"], var_type=dkw["var_type"],
                     clip_denoised=True, denoised_fn=denoised_fn,
                     init_step=init_step, channel_axis=-1,
-                    threshold_axis=threshold_axis,
+                    threshold_axis=threshold_axis, noise_seq=nseq,
                 )
             elif sampler == "ddim_sampler":
-                samples = ddim_loop(model_fn, tables, x_T, rng, eta=ddim_eta)
+                samples = ddim_loop(model_fn, tables, x_T, rng, eta=ddim_eta,
+                                    noise_seq=nseq)
             elif sampler == "plms_sampler":
                 samples = plms_loop(model_fn, tables, x_T)
             elif sampler in ("dpmpp_sampler", "dpmpp_karras_sampler"):
@@ -332,10 +334,17 @@ class Kandinsky2:
         from jax.sharding import PartitionSpec as P
 
         row = P(None, "sp", None, None)
+        specs = [P(), P(), P(), P(), P(), P(), row, row, row]
+        if with_nseq:
+            # injected per-step noise: rows shard like the latent
+            specs.append(P(None, None, "sp", None, None))
+            wrapped = fn
+        else:
+            wrapped = lambda *args: fn(*args)  # fixed 9-arg signature
         return jax.jit(jax.shard_map(
-            fn,
+            wrapped,
             mesh=sp_mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), row, row, row),
+            in_specs=tuple(specs),
             out_specs=row,
             check_vma=False,
         ))
@@ -345,28 +354,44 @@ class Kandinsky2:
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", init_step=None, noise=None,
         init_img=None, img_mask=None, h=512, w=512, sampler="ddim_sampler",
-        ddim_eta=0.8, sp_mesh=None,
+        ddim_eta=0.8, sp_mesh=None, noise_seq=None,
     ):
         """kandinsky2_model.py:104-250.  ``sp_mesh``: run denoise + KL-VAE
         decode spatially parallel — latent/image rows sharded over the
         mesh's "sp" axis (parallel/spatial.py), the dynamic-threshold
         percentile gathered across shards — for resolutions past one chip's
-        HBM (see _build_gen_fn)."""
+        HBM (see _build_gen_fn).
+
+        ``noise``: the starting latent x_T; ``noise_seq``: per-step noise
+        for the stochastic samplers (p_sampler, or ddim with eta > 0) —
+        injecting both makes the trajectory a pure function of its inputs
+        (fixed-seed cross-framework comparison, SURVEY §7 RNG parity)."""
         batch_size = resolve_batch(prompt, batch_size)
         new_h, new_w = get_new_h_w(h, w)
+        stochastic = sampler == "p_sampler" or (
+            sampler == "ddim_sampler" and ddim_eta != 0.0)
+        if noise_seq is not None and not stochastic:
+            raise ValueError(
+                "noise_seq only applies to the stochastic samplers "
+                "(p_sampler, or ddim_sampler with eta > 0); "
+                f"{sampler} here is deterministic given noise="
+            )
+        with_nseq = noise_seq is not None
         inpainting = self.task_type == "inpainting"
         full1, pooled1, full2 = self.encode_text(prompt, batch_size)
         fn = self._jit(
             ("gen20", sampler, num_steps, new_h, new_w, batch_size, init_step,
              inpainting, round(ddim_eta, 6), denoised_type,
              round(dynamic_threshold_v, 4),
-             None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat)),
+             None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat),
+             with_nseq),
             lambda: self._build_gen_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step,
                 inpainting=inpainting, ddim_eta=ddim_eta,
                 denoised_type=denoised_type,
                 dynamic_threshold_v=dynamic_threshold_v, sp_mesh=sp_mesh,
+                with_nseq=with_nseq,
             ),
         )
         if noise is None:
@@ -376,35 +401,43 @@ class Kandinsky2:
         else:
             x_T = jnp.asarray(noise, jnp.float32)
         zeros = jnp.zeros_like(x_T)
-        images = fn(
+        args = [
             self.params, full1, pooled1, full2,
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(), x_T,
             init_img if init_img is not None else zeros,
             img_mask if img_mask is not None else zeros[..., :1],
-        )
+        ]
+        if with_nseq:
+            n_anc = num_steps if init_step is None else init_step
+            args.append(check_noise(
+                noise_seq, (n_anc,) + tuple(x_T.shape), "noise_seq"))
+        images = fn(*args)
         return process_images(np.asarray(images)[:, :h, :w, :])
 
     def generate_text2img(
         self, prompt, num_steps=100, batch_size=1, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", h=512, w=512,
-        sampler="ddim_sampler", ddim_eta=0.05, sp_mesh=None,
+        sampler="ddim_sampler", ddim_eta=0.05, sp_mesh=None, noise=None,
+        noise_seq=None,
     ):
         return self.generate_img(
             prompt=prompt, batch_size=batch_size, num_steps=num_steps,
             guidance_scale=guidance_scale, progress=progress,
             dynamic_threshold_v=dynamic_threshold_v,
             denoised_type=denoised_type, h=h, w=w, sampler=sampler,
-            ddim_eta=ddim_eta, sp_mesh=sp_mesh,
+            ddim_eta=ddim_eta, sp_mesh=sp_mesh, noise=noise,
+            noise_seq=noise_seq,
         )
 
     def generate_img2img(
         self, prompt, pil_img, strength=0.7, num_steps=100, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", sampler="ddim_sampler",
-        ddim_eta=0.05, sp_mesh=None,
+        ddim_eta=0.05, sp_mesh=None, noise=None, noise_seq=None,
     ):
-        """kandinsky2_model.py:287-331 (batch 1, 512²)."""
+        """kandinsky2_model.py:287-331 (batch 1, 512²).  ``noise`` replaces
+        the q_sample re-noising draw; ``noise_seq`` as in generate_img."""
         image = jnp.asarray(prepare_image(pil_img))
         latent = self._vae_encode_sample(image) * self.scale
         if sampler == "p_sampler":
@@ -415,10 +448,14 @@ class Kandinsky2:
         else:
             start_step = int(1000 * (1 - strength))
             t_noise = start_step - 1
-        noise = jax.random.normal(self._next_rng(), latent.shape, jnp.float32)
+        renoise = (
+            check_noise(noise, tuple(latent.shape), "noise")
+            if noise is not None
+            else jax.random.normal(self._next_rng(), latent.shape, jnp.float32)
+        )
         latent = q_sample(
             self._img2img_sched, latent.astype(jnp.float32),
-            jnp.full((latent.shape[0],), t_noise, jnp.int32), noise,
+            jnp.full((latent.shape[0],), t_noise, jnp.int32), renoise,
         )
         return self.generate_img(
             prompt=prompt, batch_size=1, num_steps=num_steps,
@@ -426,15 +463,17 @@ class Kandinsky2:
             dynamic_threshold_v=dynamic_threshold_v,
             denoised_type=denoised_type, noise=latent, init_step=start_step,
             sampler=sampler, ddim_eta=ddim_eta, sp_mesh=sp_mesh,
+            noise_seq=noise_seq,
         )
 
     def generate_inpainting(
         self, prompt, pil_img, img_mask, num_steps=100, guidance_scale=7,
         progress=True, dynamic_threshold_v=99.5,
         denoised_type="dynamic_threshold", sampler="ddim_sampler",
-        ddim_eta=0.05, sp_mesh=None,
+        ddim_eta=0.05, sp_mesh=None, noise=None, noise_seq=None,
     ):
-        """kandinsky2_model.py:333-381 (mask 1 = keep)."""
+        """kandinsky2_model.py:333-381 (mask 1 = keep).  ``noise``/
+        ``noise_seq`` inject x_T / per-step noise (see generate_img)."""
         image = jnp.asarray(prepare_image(pil_img))
         latent = self._vae_encode_sample(image) * self.scale
         lh, lw = latent.shape[1:3]
@@ -448,7 +487,7 @@ class Kandinsky2:
             dynamic_threshold_v=dynamic_threshold_v,
             denoised_type=denoised_type, init_img=latent,
             img_mask=jnp.asarray(mask), sampler=sampler, ddim_eta=ddim_eta,
-            sp_mesh=sp_mesh,
+            sp_mesh=sp_mesh, noise=noise, noise_seq=noise_seq,
         )
 
     def decode_latents(self, latents, sp_mesh=None, axis="sp"):

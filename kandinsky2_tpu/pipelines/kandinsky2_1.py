@@ -46,6 +46,7 @@ from ..models.prior import PriorTransformer, prior_sample_fn
 from ..models.text_encoders import CLIPTextTower, CLIPViT, TextEncoder
 from ..utils import (
     as_prompt_list,
+    check_noise,
     get_new_h_w,
     prepare_image,
     prepare_image_batch,
@@ -275,9 +276,15 @@ class Kandinsky2_1:
 
     def generate_clip_emb(
         self, prompt, batch_size=1, prior_cf_scale=4, prior_steps="25",
-        negative_prior_prompt="",
+        negative_prior_prompt="", noise=None, noise_seq=None,
     ):
-        """CLIP text feats -> guided prior sample (kandinsky2_1_model.py:133-175)."""
+        """CLIP text feats -> guided prior sample (kandinsky2_1_model.py:133-175).
+
+        ``noise``: optional [B, clip_dim] array used as the prior's x_T
+        instead of an internal draw; ``noise_seq``: [S, B, clip_dim] per-step
+        ancestral noise (p-sampler prior ladders only) — together they make
+        the prior trajectory a pure function of its inputs for fixed-seed
+        cross-framework comparison."""
         tok, mask = self.tokenizer2.padded_tokens_and_mask(
             as_prompt_list(prompt, batch_size), self.prior.text_ctx
         )
@@ -294,8 +301,20 @@ class Kandinsky2_1:
         )
         sched = make_schedule(**skw["make_schedule"])
 
+        if noise_seq is not None and (use_ddim or use_dpmpp):
+            raise ValueError(
+                "noise_seq only applies to the ancestral (p-sampler) prior "
+                "ladder; ddim/dpmpp prior trajectories are deterministic "
+                "given noise="
+            )
+        hp = self.config["prior"]["params"]["model"]["hparams"]
+        noise = check_noise(noise, (batch_size, hp["clip_dim"]), "noise")
+
         def build():
-            def fn(params, tok, mask, scale, rng):
+            # x_T/nseq default to None so the no-injection call keeps the
+            # exact argument structure (and compiled HLO) of prior rounds;
+            # jit retraces per pytree structure when arrays are supplied.
+            def fn(params, tok, mask, scale, rng, x_T=None, nseq=None):
                 seq, feat = self.clip_text.apply(
                     {"params": params["clip_text"]}, tok
                 )
@@ -303,14 +322,19 @@ class Kandinsky2_1:
                     self.prior.apply, {"params": params["prior"]}, sched,
                     feat, seq, mask, scale, self.clip_mean, self.clip_std,
                     rng, use_ddim=use_ddim, use_dpmpp=use_dpmpp,
+                    x_T=x_T, noise_seq=nseq,
                 )
             return jax.jit(fn)
 
         fn = self._jit(("prior", str(prior_steps), tok.shape[0]), build)
-        emb = fn(
+        args = [
             self.params, tok, mask,
             jnp.asarray(prior_cf_scale, jnp.float32), self._next_rng(),
-        )
+        ]
+        if noise is not None or noise_seq is not None:
+            args += [noise, None if noise_seq is None
+                     else jnp.asarray(noise_seq, jnp.float32)]
+        emb = fn(*args)
         return emb
 
     def encode_images(self, image, is_pil: bool = False):
@@ -337,7 +361,7 @@ class Kandinsky2_1:
 
     def _build_latent_fn(
         self, *, sampler, num_steps, new_h, new_w, batch_size, init_step,
-        inpainting, turbo_interval=1, sp_mesh=None,
+        inpainting, turbo_interval=1, sp_mesh=None, with_nseq=False,
     ):
         """One jitted program: UNet conditioning encode -> scanned denoise ->
         MoVQ decode.
@@ -394,7 +418,7 @@ class Kandinsky2_1:
         threshold_axis = None if sp_mesh is None else "sp"
 
         def fn(params, full_emb, pooled_emb, image_emb, guidance_scale, rng,
-               x_T, inpaint_image, inpaint_mask):
+               x_T, inpaint_image, inpaint_mask, nseq=None):
             if sp_mesh is not None and sampler == "p_sampler":
                 # independent ancestral noise per row shard (the
                 # deterministic samplers need no per-device stream)
@@ -463,7 +487,7 @@ class Kandinsky2_1:
                     mean_type=dkw["mean_type"], var_type=dkw["var_type"],
                     clip_denoised=True, denoised_fn=denoised_fn,
                     init_step=init_step, channel_axis=-1,
-                    model_state=model_state,
+                    model_state=model_state, noise_seq=nseq,
                     # the dynamic-threshold percentile must span the FULL
                     # image, not this device's row shard
                     threshold_axis=threshold_axis,
@@ -495,10 +519,17 @@ class Kandinsky2_1:
         from jax.sharding import PartitionSpec as P
 
         row = P(None, "sp", None, None)
+        specs = [P(), P(), P(), P(), P(), P(), row, row, row]
+        if with_nseq:
+            # injected per-step ancestral noise: rows shard like the latent
+            specs.append(P(None, None, "sp", None, None))
+            wrapped = fn
+        else:
+            wrapped = lambda *args: fn(*args)  # fixed 9-arg signature
         return jax.jit(jax.shard_map(
-            fn,
+            wrapped,
             mesh=sp_mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), row, row, row),
+            in_specs=tuple(specs),
             out_specs=row,
             check_vma=False,
         ))
@@ -507,47 +538,65 @@ class Kandinsky2_1:
         self, prompt, img_prompt, batch_size=1, guidance_scale=7,
         init_step=None, noise=None, init_img=None, img_mask=None,
         h=512, w=512, sampler="ddim_sampler", num_steps=50,
-        turbo_interval=1, sp_mesh=None,
+        turbo_interval=1, sp_mesh=None, noise_seq=None,
     ):
         """Core decoder loop + MoVQ decode (kandinsky2_1_model.py:183-292).
         ``img_prompt`` is the CFG-doubled [cond; uncond] image embedding.
         ``sp_mesh``: run the denoise+decode spatially parallel (rows sharded
-        over the mesh's "sp" axis) — see _build_latent_fn."""
+        over the mesh's "sp" axis) — see _build_latent_fn.
+
+        ``noise``: the starting latent x_T ([B, h/8, w/8, C]); ``noise_seq``:
+        [S, B, h/8, w/8, C] per-step ancestral noise for the p_sampler —
+        injecting both makes the trajectory a pure function of its inputs
+        (fixed-seed cross-framework comparison, SURVEY §7 RNG parity)."""
         new_h, new_w = get_new_h_w(h, w)
+        if noise_seq is not None and sampler != "p_sampler":
+            raise ValueError(
+                "noise_seq only applies to the ancestral p_sampler; "
+                f"{sampler} is deterministic given noise="
+            )
         inpainting = self.task_type == "inpainting"
+        with_nseq = noise_seq is not None
         full_emb, pooled_emb = self.encode_text(prompt, batch_size)
         fn = self._jit(
             ("gen", sampler, num_steps, new_h, new_w, batch_size, init_step,
              inpainting, turbo_interval,
-             None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat)),
+             None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat),
+             with_nseq),
             lambda: self._build_latent_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, init_step=init_step, inpainting=inpainting,
                 turbo_interval=turbo_interval, sp_mesh=sp_mesh,
+                with_nseq=with_nseq,
             ),
         )
+        C = self.config["model_config"]["in_channels"]
         if noise is None:
             x_T = jax.random.normal(
-                self._next_rng(),
-                (batch_size, new_h, new_w, self.config["model_config"]["in_channels"]),
-                jnp.float32,
+                self._next_rng(), (batch_size, new_h, new_w, C), jnp.float32,
             )
         else:
             x_T = jnp.asarray(noise, jnp.float32)
         zeros_lat = jnp.zeros_like(x_T)
         zeros_mask = jnp.zeros_like(x_T[..., :1])
-        images = fn(
+        args = [
             self.params, full_emb, pooled_emb, img_prompt,
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(), x_T,
             init_img if init_img is not None else zeros_lat,
             img_mask if img_mask is not None else zeros_mask,
-        )
+        ]
+        if with_nseq:
+            # p_sample_loop runs init_step steps when the ladder is truncated
+            n_anc = num_steps if init_step is None else init_step
+            args.append(check_noise(
+                noise_seq, (n_anc,) + tuple(x_T.shape), "noise_seq"))
+        images = fn(*args)
         images = np.asarray(images)[:, :h, :w, :]
         return process_images(images)
 
     def _build_text2img_fused_fn(
         self, *, sampler, num_steps, new_h, new_w, batch_size, prior_steps,
-        turbo_interval=1,
+        turbo_interval=1, with_nseq=False,
     ):
         """ONE XLA program for the whole text2img trajectory: CLIP text tower
         → guided prior (25-step scan) → zero-image negative emb → UNet
@@ -562,11 +611,12 @@ class Kandinsky2_1:
         decode_fn = self._build_latent_fn(
             sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
             batch_size=batch_size, init_step=None, inpainting=False,
-            turbo_interval=turbo_interval,
+            turbo_interval=turbo_interval, with_nseq=with_nseq,
         )
 
         def fn(params, prior_tok, prior_mask, txt_tokens, txt_mask,
-               prior_scale, guidance_scale, rng, x_T):
+               prior_scale, guidance_scale, rng, x_T, prior_x_T=None,
+               nseq=None, prior_nseq=None):
             seq, feat = self.clip_text.apply(
                 {"params": params["clip_text"]}, prior_tok
             )
@@ -574,6 +624,7 @@ class Kandinsky2_1:
                 self.prior.apply, {"params": params["prior"]}, prior_sched,
                 feat, seq, prior_mask, prior_scale, self.clip_mean,
                 self.clip_std, rng, use_ddim=use_ddim, use_dpmpp=use_dpmpp,
+                x_T=prior_x_T, noise_seq=prior_nseq,
             )
             zero_img = jnp.zeros(
                 (1, self.clip_image_size, self.clip_image_size, 3)
@@ -593,7 +644,7 @@ class Kandinsky2_1:
             return decode_fn(
                 params, full_emb, pooled_emb, img_prompt, guidance_scale,
                 jax.random.fold_in(rng, 7), x_T, zeros_lat,
-                zeros_lat[..., :1],
+                zeros_lat[..., :1], nseq,
             )
 
         return jax.jit(fn)
@@ -601,6 +652,7 @@ class Kandinsky2_1:
     def _generate_text2img_fused(
         self, prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
         prior_cf_scale, prior_steps, negative_prior_prompt, turbo_interval=1,
+        noise=None, prior_noise=None, noise_seq=None, prior_noise_seq=None,
     ):
         new_h, new_w = get_new_h_w(h, w)
         prompts = as_prompt_list(prompt, batch_size)
@@ -618,26 +670,45 @@ class Kandinsky2_1:
             padding="max_length", truncation=True, return_attention_mask=True,
             add_special_tokens=True, return_tensors="np",
         )
+        if noise_seq is not None and sampler != "p_sampler":
+            raise ValueError(
+                "noise_seq only applies to the ancestral p_sampler; "
+                f"{sampler} is deterministic given noise="
+            )
+        with_nseq = noise_seq is not None
         fn = self._jit(
             ("t2i_fused", sampler, num_steps, new_h, new_w, batch_size,
-             str(prior_steps), turbo_interval),
+             str(prior_steps), turbo_interval, with_nseq),
             lambda: self._build_text2img_fused_fn(
                 sampler=sampler, num_steps=num_steps, new_h=new_h, new_w=new_w,
                 batch_size=batch_size, prior_steps=prior_steps,
-                turbo_interval=turbo_interval,
+                turbo_interval=turbo_interval, with_nseq=with_nseq,
             ),
         )
-        x_T = jax.random.normal(
-            self._next_rng(),
-            (batch_size, new_h, new_w, self.config["model_config"]["in_channels"]),
-            jnp.float32,
-        )
-        images = fn(
+        C = self.config["model_config"]["in_channels"]
+        if noise is None:
+            x_T = jax.random.normal(
+                self._next_rng(), (batch_size, new_h, new_w, C), jnp.float32,
+            )
+        else:
+            x_T = check_noise(noise, (batch_size, new_h, new_w, C), "noise")
+        args = [
             self.params, prior_tok, prior_mask,
             jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]),
             jnp.asarray(prior_cf_scale, jnp.float32),
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(), x_T,
-        )
+        ]
+        if (prior_noise is not None or with_nseq
+                or prior_noise_seq is not None):
+            hp = self.config["prior"]["params"]["model"]["hparams"]
+            args.append(check_noise(
+                prior_noise, (batch_size, hp["clip_dim"]), "prior_noise"))
+            args.append(
+                None if not with_nseq else check_noise(
+                    noise_seq, (num_steps,) + tuple(x_T.shape), "noise_seq"))
+            if prior_noise_seq is not None:
+                args.append(jnp.asarray(prior_noise_seq, jnp.float32))
+        images = fn(*args)
         return process_images(np.asarray(images)[:, :h, :w, :])
 
     def generate_text2img(
@@ -645,6 +716,7 @@ class Kandinsky2_1:
         h=512, w=512, sampler="ddim_sampler", prior_cf_scale=4,
         prior_steps="25", negative_prior_prompt="", negative_decoder_prompt="",
         fused=True, turbo_interval=1, sp_mesh=None,
+        noise=None, prior_noise=None, noise_seq=None, prior_noise_seq=None,
     ):
         """kandinsky2_1_model.py:299-351.  With ``fused`` (default) and no
         negative decoder prompt the whole trajectory runs as one XLA
@@ -654,17 +726,29 @@ class Kandinsky2_1:
         (non-parity speedup; see _build_latent_fn).  ``sp_mesh``: run the
         denoise+decode spatially parallel — image rows sharded over the
         mesh's "sp" axis (parallel/spatial.py) for resolutions past one
-        chip's HBM; the prior/text stages run replicated."""
+        chip's HBM; the prior/text stages run replicated.
+
+        Noise injection (identical across the fused and staged paths, so a
+        fixed-seed torch comparison can share exact noise tensors):
+        ``noise`` = decoder x_T [B, h/8, w/8, C]; ``prior_noise`` = prior
+        x_T [B, clip_dim] (applies to the positive prior run);
+        ``noise_seq`` = [num_steps, B, h/8, w/8, C] per-step ancestral noise
+        (p_sampler only); ``prior_noise_seq`` = [S_prior, B, clip_dim]
+        per-step ancestral noise for the stochastic ("25"-style) prior
+        ladder."""
         batch_size = resolve_batch(prompt, batch_size)
         if sp_mesh is None and fused and negative_decoder_prompt == "":
             return self._generate_text2img_fused(
                 prompt, num_steps, batch_size, guidance_scale, h, w, sampler,
                 prior_cf_scale, prior_steps, negative_prior_prompt,
-                turbo_interval=turbo_interval,
+                turbo_interval=turbo_interval, noise=noise,
+                prior_noise=prior_noise, noise_seq=noise_seq,
+                prior_noise_seq=prior_noise_seq,
             )
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, negative_prior_prompt=negative_prior_prompt,
+            noise=prior_noise, noise_seq=prior_noise_seq,
         )
         if negative_decoder_prompt == "":
             zero_image_emb = self.create_zero_img_emb(batch_size)
@@ -681,7 +765,7 @@ class Kandinsky2_1:
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
             num_steps=num_steps, turbo_interval=turbo_interval,
-            sp_mesh=sp_mesh,
+            sp_mesh=sp_mesh, noise=noise, noise_seq=noise_seq,
         )
 
     def generate_text2img_hires(
@@ -689,6 +773,7 @@ class Kandinsky2_1:
         h=768, w=768, sampler="ddim_sampler", low_scale=0.5, low_steps=None,
         strength=0.65, prior_cf_scale=4, prior_steps="25",
         negative_prior_prompt="", turbo_interval=1, sp_mesh=None,
+        noise=None, prior_noise=None,
     ):
         """Two-stage hires generation (training-free, beyond reference;
         cf. Bottleneck Sampling, arxiv 2503.18940): run the full ladder at
@@ -707,7 +792,7 @@ class Kandinsky2_1:
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps,
-            negative_prior_prompt=negative_prior_prompt,
+            negative_prior_prompt=negative_prior_prompt, noise=prior_noise,
         )
         image_emb = jnp.concatenate(
             [image_emb, self.create_zero_img_emb(batch_size)], axis=0
@@ -736,16 +821,18 @@ class Kandinsky2_1:
             batch_size=batch_size, guidance_scale=guidance_scale, h=h, w=w,
             sampler=sampler, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, image_emb=image_emb,
-            turbo_interval=turbo_interval, sp_mesh=sp_mesh,
+            turbo_interval=turbo_interval, sp_mesh=sp_mesh, noise=noise,
         )
 
     def mix_images(
         self, images_texts, weights, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
         prior_cf_scale=4, prior_steps="25", negative_prior_prompt="",
-        negative_decoder_prompt="", sp_mesh=None,
+        negative_decoder_prompt="", sp_mesh=None, noise=None, noise_seq=None,
     ):
-        """Weighted image-embedding fusion (kandinsky2_1_model.py:353-425)."""
+        """Weighted image-embedding fusion (kandinsky2_1_model.py:353-425).
+        ``noise``/``noise_seq`` inject the decoder x_T / per-step ancestral
+        noise (see generate_text2img)."""
         assert len(images_texts) == len(weights) and len(images_texts) > 0
         image_emb = None
         for obj, wgt in zip(images_texts, weights):
@@ -773,14 +860,15 @@ class Kandinsky2_1:
         return self.generate_img(
             prompt="", img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
-            num_steps=num_steps, sp_mesh=sp_mesh,
+            num_steps=num_steps, sp_mesh=sp_mesh, noise=noise,
+            noise_seq=noise_seq,
         )
 
     def generate_img2img(
         self, prompt, pil_img, strength=0.7, num_steps=100, batch_size=1,
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
         prior_cf_scale=4, prior_steps="25", image_emb=None, turbo_interval=1,
-        sp_mesh=None,
+        sp_mesh=None, noise=None, prior_noise=None, noise_seq=None,
     ):
         """kandinsky2_1_model.py:427-484: MoVQ-encode, q_sample re-noise at the
         strength-derived step, truncated ladder.
@@ -788,12 +876,14 @@ class Kandinsky2_1:
         ``pil_img`` may be a list of per-prompt images (len == batch) —
         each batch row then starts from its own init image.  A precomputed
         CFG-doubled ``image_emb`` skips the prior run (the staged hires
-        path reuses stage 1's)."""
+        path reuses stage 1's).  ``noise`` replaces the q_sample re-noising
+        draw ([B, h/8, w/8, C]); ``prior_noise``/``noise_seq`` as in
+        generate_text2img."""
         batch_size = resolve_batch(prompt, batch_size)
         if image_emb is None:
             image_emb = self.generate_clip_emb(
                 prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
-                prior_steps=prior_steps,
+                prior_steps=prior_steps, noise=prior_noise,
             )
             zero_image_emb = self.create_zero_img_emb(batch_size)
             image_emb = jnp.concatenate(
@@ -814,10 +904,14 @@ class Kandinsky2_1:
         else:
             start_step = int(1000 * (1 - strength))
             t_noise = start_step - 1
-        noise = jax.random.normal(self._next_rng(), latent.shape, jnp.float32)
+        renoise = (
+            check_noise(noise, tuple(latent.shape), "noise")
+            if noise is not None
+            else jax.random.normal(self._next_rng(), latent.shape, jnp.float32)
+        )
         latent = q_sample(
             self._img2img_sched, latent.astype(jnp.float32),
-            jnp.full((latent.shape[0],), t_noise, jnp.int32), noise,
+            jnp.full((latent.shape[0],), t_noise, jnp.int32), renoise,
         )
         if latent.shape[0] != batch_size:
             latent = jnp.tile(latent, (batch_size, 1, 1, 1))
@@ -826,6 +920,7 @@ class Kandinsky2_1:
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
             num_steps=num_steps, noise=latent, init_step=start_step,
             turbo_interval=turbo_interval, sp_mesh=sp_mesh,
+            noise_seq=noise_seq,
         )
 
     def generate_inpainting(
@@ -833,35 +928,55 @@ class Kandinsky2_1:
         guidance_scale=7, h=512, w=512, sampler="ddim_sampler",
         prior_cf_scale=4, prior_steps="25", negative_prior_prompt="",
         negative_decoder_prompt="", sp_mesh=None,
+        noise=None, prior_noise=None, noise_seq=None,
     ):
-        """kandinsky2_1_model.py:486-548: latent-mask-blended inpainting."""
+        """kandinsky2_1_model.py:486-548: latent-mask-blended inpainting.
+
+        ``pil_img``/``img_mask`` may be per-prompt lists (len == batch) so a
+        serving tier can coalesce distinct users' inpainting requests into
+        one compiled program — each batch row consumes its own init image
+        and mask.  ``noise``/``prior_noise``/``noise_seq`` as in
+        generate_text2img."""
         batch_size = resolve_batch(prompt, batch_size)
         image_emb = self.generate_clip_emb(
             prompt, batch_size=batch_size, prior_cf_scale=prior_cf_scale,
             prior_steps=prior_steps, negative_prior_prompt=negative_prior_prompt,
+            noise=prior_noise,
         )
         zero_image_emb = self.create_zero_img_emb(batch_size)
         image_emb = jnp.concatenate([image_emb, zero_image_emb], axis=0).astype(
             self.dtype
         )
-        image = jnp.asarray(prepare_image(pil_img, w=w, h=h))
+        image = jnp.asarray(prepare_image_batch(pil_img, w, h, batch_size))
         latent = self._movq_encode(image) * self.scale
         lh, lw = latent.shape[1:3]
-        mask = np.asarray(img_mask, np.float32)
-        # nearest-resize the pixel mask to the latent grid, then erode
-        yi = (np.arange(lh) * (mask.shape[0] / lh)).astype(np.int32)
-        xi = (np.arange(lw) * (mask.shape[1] / lw)).astype(np.int32)
-        mask = mask[yi][:, xi]
-        mask = prepare_mask(mask)[None, :, :, None]
+        masks = (
+            list(img_mask) if isinstance(img_mask, (list, tuple))
+            else [img_mask]
+        )
+        if len(masks) not in (1, batch_size):
+            raise ValueError(
+                f"got {len(masks)} masks for batch {batch_size}; pass one "
+                "mask, or exactly batch_size masks (one per row)"
+            )
+        prepped = []
+        for m in masks:
+            m = np.asarray(m, np.float32)
+            # nearest-resize the pixel mask to the latent grid, then erode
+            yi = (np.arange(lh) * (m.shape[0] / lh)).astype(np.int32)
+            xi = (np.arange(lw) * (m.shape[1] / lw)).astype(np.int32)
+            prepped.append(prepare_mask(m[yi][:, xi]))
+        mask = jnp.asarray(np.stack(prepped), jnp.float32)[..., None]
         latent = jnp.asarray(latent, jnp.float32)
-        mask = jnp.asarray(mask, jnp.float32)
-        latent_b = jnp.tile(latent, (batch_size, 1, 1, 1))
-        mask_b = jnp.tile(mask, (batch_size, 1, 1, 1))
+        if latent.shape[0] != batch_size:
+            latent = jnp.tile(latent, (batch_size, 1, 1, 1))
+        if mask.shape[0] != batch_size:
+            mask = jnp.tile(mask, (batch_size, 1, 1, 1))
         return self.generate_img(
             prompt=prompt, img_prompt=image_emb, batch_size=batch_size,
             guidance_scale=guidance_scale, h=h, w=w, sampler=sampler,
-            num_steps=num_steps, init_img=latent_b, img_mask=mask_b,
-            sp_mesh=sp_mesh,
+            num_steps=num_steps, init_img=latent, img_mask=mask,
+            sp_mesh=sp_mesh, noise=noise, noise_seq=noise_seq,
         )
 
     # ------------------------------------------------------------------

@@ -33,7 +33,7 @@ from ..models.text_encoders import HFCLIPVision
 from ..models.unet22 import UNet22
 from ..utils import (
     as_prompt_list,
-    prepare_image,
+    check_noise,
     prepare_image_batch,
     process_images,
     resolve_batch,
@@ -210,12 +210,17 @@ class Kandinsky2_2:
 
     def run_prior(
         self, prompt, batch_size=1, prior_steps=25, guidance_scale=4,
-        negative_prompt="", sampler="ddpm",
+        negative_prompt="", sampler="ddpm", noise=None, noise_seq=None,
     ):
         """Guided prior sampling -> de-normalized image embeds [B, 1280]
         (diffusers KandinskyV22PriorPipeline semantics).  ``sampler="dpmpp"``
         (beyond reference) runs the 2M solver on the x0-predicting prior —
-        same quality class at ~10 steps."""
+        same quality class at ~10 steps.
+
+        ``noise``: [B, D] prior x_T instead of an internal draw;
+        ``noise_seq``: [S, B, D] per-step ancestral noise (ddpm sampler) —
+        injecting both makes the trajectory a pure function of its inputs
+        for fixed-seed cross-framework comparison (SURVEY §7 RNG parity)."""
         hidden, proj, mask = self._encode_text(
             as_prompt_list(negative_prompt, batch_size)
             + as_prompt_list(prompt, batch_size)
@@ -228,11 +233,22 @@ class Kandinsky2_2:
             dpm_tables = make_dpmpp_tables(
                 np.asarray(self._prior_acp, np.float64), ladder=ladder,
             )
+            if noise_seq is not None:
+                raise ValueError(
+                    "noise_seq only applies to the ancestral ddpm prior; "
+                    "dpmpp is deterministic given noise="
+                )
         elif sampler != "ddpm":
             raise ValueError("2.2 prior samplers: 'ddpm' (parity) or 'dpmpp'")
+        noise = check_noise(noise, (batch_size, D), "noise")
+        noise_seq = check_noise(
+            noise_seq, (len(ladder), batch_size, D), "noise_seq")
 
         def build():
-            def fn(params, hidden, proj, mask, g, rng):
+            # x_T/nseq default None: the no-injection call keeps the exact
+            # argument structure (and compiled HLO) of prior rounds; jit
+            # retraces per pytree structure when arrays are supplied.
+            def fn(params, hidden, proj, mask, g, rng, x_T=None, nseq=None):
                 def model_fn(x, t):
                     x2 = jnp.concatenate([x, x], 0)
                     t2 = jnp.concatenate([t, t], 0)
@@ -242,7 +258,8 @@ class Kandinsky2_2:
                     uncond, text = out[:batch_size], out[batch_size:]
                     return uncond + g * (text - uncond)
 
-                x_T = jax.random.normal(rng, (batch_size, D), jnp.float32)
+                if x_T is None:
+                    x_T = jax.random.normal(rng, (batch_size, D), jnp.float32)
                 if sampler == "dpmpp":
                     lat = dpmpp_2m_loop(
                         model_fn, dpm_tables, x_T, prediction="xstart",
@@ -253,6 +270,7 @@ class Kandinsky2_2:
                         model_fn, self._prior_acp, ladder, x_T,
                         jax.random.fold_in(rng, 1), prediction="sample",
                         variance="fixed_small_log", clip_range=10.0,
+                        noise_seq=nseq,
                     )
                 mean = params["prior"]["clip_mean"]
                 std = params["prior"]["clip_std"]
@@ -261,14 +279,18 @@ class Kandinsky2_2:
             return jax.jit(fn)
 
         fn = self._jit(("prior22", prior_steps, batch_size, sampler), build)
-        return fn(
+        args = [
             self.params, hidden, proj, mask,
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(),
-        )
+        ]
+        if noise is not None or noise_seq is not None:
+            args += [noise, noise_seq]
+        return fn(*args)
 
     def run_prior_emb2emb(
         self, image, prompt, strength=0.3, batch_size=1, prior_steps=25,
-        guidance_scale=4, negative_prompt="", sampler="ddpm",
+        guidance_scale=4, negative_prompt="", sampler="ddpm", noise=None,
+        noise_seq=None,
     ):
         """Prior img2img in embedding space (the diffusers
         ``KandinskyV22PriorEmb2EmbPipeline`` the reference façade imports,
@@ -281,7 +303,10 @@ class Kandinsky2_2:
         precomputed de-normalized embedding of shape [D] / [1, D] / [B, D].
         ``strength`` in (0, 1]: fraction of the prior ladder actually run
         (1.0 ≈ ignore the input, small values stay close to it).  Returns
-        de-normalized image embeds [B, D] for the decoder."""
+        de-normalized image embeds [B, D] for the decoder.
+
+        ``noise``: [B, D] replaces the re-noising draw; ``noise_seq``:
+        [S, B, D] per-step ancestral noise (ddpm sampler) — see run_prior."""
         batch_size = resolve_batch(prompt, batch_size)
         hidden, proj, mask = self._encode_text(
             as_prompt_list(negative_prompt, batch_size)
@@ -310,11 +335,21 @@ class Kandinsky2_2:
             dpm_tables = make_dpmpp_tables(
                 np.asarray(self._prior_acp, np.float64), ladder=ladder,
             )
+            if noise_seq is not None:
+                raise ValueError(
+                    "noise_seq only applies to the ancestral ddpm prior; "
+                    "dpmpp is deterministic given noise="
+                )
         elif sampler != "ddpm":
             raise ValueError("2.2 prior samplers: 'ddpm' (parity) or 'dpmpp'")
+        D = self.prior.embedding_dim
+        noise = check_noise(noise, (batch_size, D), "noise")
+        noise_seq = check_noise(
+            noise_seq, (len(ladder), batch_size, D), "noise_seq")
 
         def build():
-            def fn(params, emb, hidden, proj, mask, g, rng):
+            def fn(params, emb, hidden, proj, mask, g, rng, inj=None,
+                   nseq=None):
                 def model_fn(x, t):
                     x2 = jnp.concatenate([x, x], 0)
                     t2 = jnp.concatenate([t, t], 0)
@@ -328,7 +363,10 @@ class Kandinsky2_2:
                 std = params["prior"]["clip_std"]
                 lat0 = (emb - mean) / std
                 a = jnp.sqrt(self._prior_acp[t0])
-                noise = jax.random.normal(rng, lat0.shape, jnp.float32)
+                noise = (
+                    inj if inj is not None
+                    else jax.random.normal(rng, lat0.shape, jnp.float32)
+                )
                 x_T = a * lat0 + jnp.sqrt(1.0 - a**2) * noise
                 if sampler == "dpmpp":
                     lat = dpmpp_2m_loop(
@@ -340,6 +378,7 @@ class Kandinsky2_2:
                         model_fn, self._prior_acp, ladder, x_T,
                         jax.random.fold_in(rng, 1), prediction="sample",
                         variance="fixed_small_log", clip_range=10.0,
+                        noise_seq=nseq,
                     )
                 return lat * std + mean
 
@@ -349,10 +388,13 @@ class Kandinsky2_2:
             ("prior22_emb2emb", prior_steps, len(ladder), batch_size, sampler),
             build,
         )
-        return fn(
+        args = [
             self.params, emb, hidden, proj, mask,
             jnp.asarray(guidance_scale, jnp.float32), self._next_rng(),
-        )
+        ]
+        if noise is not None or noise_seq is not None:
+            args += [noise, noise_seq]
+        return fn(*args)
 
     # ------------------------------------------------------------------
     # decoder
@@ -360,7 +402,7 @@ class Kandinsky2_2:
 
     def _build_decoder_fn(self, *, steps, lat_h, lat_w, batch_size, task,
                           ladder=None, turbo_interval=1, sampler="ddpm",
-                          sp_mesh=None):
+                          sp_mesh=None, with_nseq=False):
         ladder = ddpm_ladder(steps) if ladder is None else ladder
         if sampler in ("dpmpp", "dpmpp_karras"):
             from ..diffusion import (
@@ -401,9 +443,11 @@ class Kandinsky2_2:
             unet = self.unet.clone(sp_axis="sp", parent=None)
             movq = self.movq.clone(sp_axis="sp", parent=None)
 
-        def fn(params, image_embeds, rng, x_T, extra_a, extra_b, g):
+        def fn(params, image_embeds, rng, x_T, extra_a, extra_b, g,
+               nseq=None):
             """extra_a/extra_b: (masked_image, mask) for inpainting,
-            (hint, -) for controlnet, unused otherwise — all CFG-halved B."""
+            (hint, -) for controlnet, unused otherwise — all CFG-halved B.
+            ``nseq``: injected per-step ancestral noise (ddpm sampler)."""
             kw = {}
             if task == "controlnet":
                 kw["hint"] = jnp.concatenate([extra_a, extra_a], 0)
@@ -473,7 +517,7 @@ class Kandinsky2_2:
                 lat = paired_ancestral_loop(
                     active_fn, self._decoder_acp, ladder, x_T, rng,
                     prediction="epsilon", variance="learned_range",
-                    clip_range=2.0, model_state=model_state,
+                    clip_range=2.0, model_state=model_state, noise_seq=nseq,
                 )
             img = movq.apply(
                 {"params": params["movq"]}, lat.astype(self.dtype),
@@ -490,10 +534,17 @@ class Kandinsky2_2:
         # hint (extra_a for controlnet) is a full-resolution PIXEL map fed to
         # the replicated hint encoder; rows of x_T / inpaint tensors shard
         extra_a_spec = P() if task == "controlnet" else row
+        specs = [P(), P(), P(), row, extra_a_spec, row, P()]
+        if with_nseq:
+            # injected per-step ancestral noise: rows shard like the latent
+            specs.append(P(None, None, "sp", None, None))
+            wrapped = fn
+        else:
+            wrapped = lambda *args: fn(*args)  # fixed 7-arg signature
         return jax.jit(jax.shard_map(
-            fn,
+            wrapped,
             mesh=sp_mesh,
-            in_specs=(P(), P(), P(), row, extra_a_spec, row, P()),
+            in_specs=tuple(specs),
             out_specs=row,
             check_vma=False,
         ))
@@ -501,18 +552,25 @@ class Kandinsky2_2:
     def _decode_loop(self, image_embeds, batch_size, steps, guidance, h, w,
                      x_T=None, extra_a=None, extra_b=None, task=None,
                      ladder=None, turbo_interval=1, sampler="ddpm",
-                     sp_mesh=None):
+                     sp_mesh=None, noise_seq=None):
         task = task or self.task_type
         lat_h, lat_w = h // 8, w // 8
+        if noise_seq is not None and sampler != "ddpm":
+            raise ValueError(
+                "noise_seq only applies to the ancestral ddpm decoder; "
+                f"{sampler} is deterministic given noise="
+            )
+        with_nseq = noise_seq is not None
         key = ("dec22", task, steps, lat_h, lat_w, batch_size,
                None if ladder is None else len(ladder), turbo_interval,
-               sampler, None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat))
+               sampler, None if sp_mesh is None else tuple(d.id for d in sp_mesh.devices.flat),
+               with_nseq)
         fn = self._jit(
             key,
             lambda: self._build_decoder_fn(
                 steps=steps, lat_h=lat_h, lat_w=lat_w, batch_size=batch_size,
                 task=task, ladder=ladder, turbo_interval=turbo_interval,
-                sampler=sampler, sp_mesh=sp_mesh,
+                sampler=sampler, sp_mesh=sp_mesh, with_nseq=with_nseq,
             ),
         )
         if x_T is None:
@@ -524,10 +582,15 @@ class Kandinsky2_2:
             extra_a = zeros
         if extra_b is None:
             extra_b = zeros[..., :1]
-        images = fn(
+        args = [
             self.params, image_embeds.astype(self.dtype), self._next_rng(),
             x_T, extra_a, extra_b, jnp.asarray(guidance, jnp.float32),
-        )
+        ]
+        if with_nseq:
+            n_steps = steps if ladder is None else len(ladder)
+            args.append(check_noise(
+                noise_seq, (n_steps,) + tuple(x_T.shape), "noise_seq"))
+        images = fn(*args)
         return process_images(np.asarray(images))
 
     # ------------------------------------------------------------------
@@ -536,10 +599,12 @@ class Kandinsky2_2:
 
     def _embs_for(self, prompt, negative_prior_prompt, negative_decoder_prompt,
                   batch_size, prior_steps, prior_guidance_scale,
-                  prior_sampler="ddpm"):
+                  prior_sampler="ddpm", prior_noise=None,
+                  prior_noise_seq=None):
         img_emb = self.run_prior(
             prompt, batch_size, prior_steps, prior_guidance_scale,
-            negative_prior_prompt, sampler=prior_sampler,
+            negative_prior_prompt, sampler=prior_sampler, noise=prior_noise,
+            noise_seq=prior_noise_seq,
         )
         if negative_decoder_prompt == "":
             negative_emb = self.get_zero_embed(batch_size)
@@ -556,23 +621,34 @@ class Kandinsky2_2:
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
         turbo_interval=1, sampler="ddpm", prior_sampler="ddpm",
-        sp_mesh=None,
+        sp_mesh=None, noise=None, noise_seq=None, prior_noise=None,
+        prior_noise_seq=None,
     ):
         """``sampler``: 'ddpm' is the diffusers-parity ancestral scheduler;
         'dpmpp'/'dpmpp_karras' (beyond reference) is deterministic
         DPM-Solver++(2M) — comparable quality in ~20-25 decoder steps.
         ``prior_sampler="dpmpp"`` runs the 2M solver on the prior too
-        (~10 prior steps)."""
+        (~10 prior steps).
+
+        Noise injection (fixed-seed cross-framework comparison, SURVEY §7):
+        ``noise`` = decoder x_T [B, h/8, w/8, 4]; ``noise_seq`` =
+        [decoder_steps, B, h/8, w/8, 4] per-step ancestral noise (ddpm);
+        ``prior_noise`` [B, D] / ``prior_noise_seq`` [prior_steps, B, D]
+        feed the positive prior run the same way.  With all four injected
+        the whole trajectory is independent of the pipeline RNG."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
             batch_size, prior_steps, prior_guidance_scale,
-            prior_sampler=prior_sampler,
+            prior_sampler=prior_sampler, prior_noise=prior_noise,
+            prior_noise_seq=prior_noise_seq,
         )
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             turbo_interval=turbo_interval, sampler=sampler, sp_mesh=sp_mesh,
+            x_T=check_noise(noise, (batch_size, h // 8, w // 8, 4), "noise"),
+            noise_seq=noise_seq,
         )
 
     def generate_img2img(
@@ -580,16 +656,20 @@ class Kandinsky2_2:
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
         sampler="ddpm", image_embeds=None, turbo_interval=1, sp_mesh=None,
+        noise=None, noise_seq=None, prior_noise=None, prior_noise_seq=None,
     ):
         """``image`` may be a list of per-prompt init images (len == batch);
         a precomputed CFG-doubled ``image_embeds`` skips the prior run (the
-        staged hires path reuses stage 1's)."""
+        staged hires path reuses stage 1's).  ``noise`` replaces the
+        re-noising draw ([B, h/8, w/8, 4]); ``noise_seq``/``prior_noise`` as
+        in generate_text2img."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         if image_embeds is None:
             embs = self._embs_for(
                 prompt, negative_prior_prompt, negative_decoder_prompt,
                 batch_size, prior_steps, prior_guidance_scale,
+                prior_noise=prior_noise, prior_noise_seq=prior_noise_seq,
             )
         else:
             embs = image_embeds
@@ -607,13 +687,18 @@ class Kandinsky2_2:
         if lat.shape[0] != batch_size:
             lat = jnp.tile(lat, (batch_size, 1, 1, 1))
         t0 = int(ladder[0])
-        noise = jax.random.normal(self._next_rng(), lat.shape, jnp.float32)
+        renoise = (
+            check_noise(noise, tuple(lat.shape), "noise")
+            if noise is not None
+            else jax.random.normal(self._next_rng(), lat.shape, jnp.float32)
+        )
         a = self._decoder_sqrt_acp[t0]
-        x_T = a * lat + jnp.sqrt(1.0 - a**2) * noise
+        x_T = a * lat + jnp.sqrt(1.0 - a**2) * renoise
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             x_T=x_T, ladder=ladder, task="img2img", sampler=sampler,
             turbo_interval=turbo_interval, sp_mesh=sp_mesh,
+            noise_seq=noise_seq,
         )
 
     def generate_text2img_hires(
@@ -622,11 +707,14 @@ class Kandinsky2_2:
         low_scale=0.5, low_steps=None, strength=0.35,
         negative_prior_prompt="", negative_decoder_prompt="",
         sampler="ddpm", turbo_interval=1, sp_mesh=None,
+        noise=None, prior_noise=None,
     ):
         """Two-stage hires generation (beyond reference, mirrors the 2.1
         method): full ladder at ``low_scale`` resolution, LANCZOS upsample,
         then img2img refine on the last ``strength`` fraction of the ladder
-        (2.2/diffusers strength convention).  The prior runs once."""
+        (2.2/diffusers strength convention).  The prior runs once.
+        ``noise`` injects the refine stage's re-noising draw;
+        ``prior_noise`` the prior x_T."""
         from PIL import Image as _Image
 
         batch_size = resolve_batch(prompt, batch_size)
@@ -634,6 +722,7 @@ class Kandinsky2_2:
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
             batch_size, prior_steps, prior_guidance_scale,
+            prior_noise=prior_noise,
         )
         lh, lw = get_new_h_w_64(
             max(64, int(h * low_scale)), max(64, int(w * low_scale))
@@ -658,17 +747,18 @@ class Kandinsky2_2:
             decoder_steps=decoder_steps,
             decoder_guidance_scale=decoder_guidance_scale, h=h, w=w,
             sampler=sampler, image_embeds=embs,
-            turbo_interval=turbo_interval, sp_mesh=sp_mesh,
+            turbo_interval=turbo_interval, sp_mesh=sp_mesh, noise=noise,
         )
 
     def mix_images(
         self, images_texts, weights, batch_size=1, decoder_steps=50,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm", sp_mesh=None,
+        sampler="ddpm", sp_mesh=None, noise=None, noise_seq=None,
     ):
         """prior.interpolate (kandinsky2_2_model.py:114-142): weighted sum of
-        per-condition image embeddings."""
+        per-condition image embeddings.  ``noise``/``noise_seq`` inject the
+        decoder x_T / per-step ancestral noise (see generate_text2img)."""
         assert len(images_texts) == len(weights) and len(images_texts) > 0
         h, w = get_new_h_w_64(h, w)
         emb = None
@@ -693,36 +783,62 @@ class Kandinsky2_2:
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             sampler=sampler, sp_mesh=sp_mesh,
+            x_T=check_noise(noise, (batch_size, h // 8, w // 8, 4), "noise"),
+            noise_seq=noise_seq,
         )
 
     def generate_inpainting(
         self, prompt, pil_img, img_mask, batch_size=1, decoder_steps=50,
         prior_steps=25, decoder_guidance_scale=4, prior_guidance_scale=4,
         h=512, w=512, negative_prior_prompt="", negative_decoder_prompt="",
-        sampler="ddpm", sp_mesh=None,
+        sampler="ddpm", sp_mesh=None, noise=None, noise_seq=None,
+        prior_noise=None, prior_noise_seq=None,
     ):
         """``img_mask``: 1 = repaint (diffusers >= 0.19 convention for
-        Kandinsky inpainting)."""
+        Kandinsky inpainting).
+
+        ``pil_img``/``img_mask`` may be per-prompt lists (len == batch) so a
+        serving tier can coalesce distinct users' inpainting requests into
+        one compiled program — each batch row consumes its own init image
+        and mask.  ``noise``/``noise_seq``/``prior_noise`` as in
+        generate_text2img."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         embs = self._embs_for(
             prompt, negative_prior_prompt, negative_decoder_prompt,
             batch_size, prior_steps, prior_guidance_scale,
+            prior_noise=prior_noise, prior_noise_seq=prior_noise_seq,
         )
-        init = jnp.asarray(prepare_image(pil_img, w=w, h=h))
+        init = jnp.asarray(prepare_image_batch(pil_img, w, h, batch_size))
         lat = self._movq_encode(init) * self.movq_scale
-        keep = 1.0 - np.asarray(img_mask, np.float32)
         lh, lw = lat.shape[1:3]
-        yi = (np.arange(lh) * (keep.shape[0] / lh)).astype(np.int32)
-        xi = (np.arange(lw) * (keep.shape[1] / lw)).astype(np.int32)
-        keep = jnp.asarray(keep[yi][:, xi])[None, :, :, None]
+        masks = (
+            list(img_mask) if isinstance(img_mask, (list, tuple))
+            else [img_mask]
+        )
+        if len(masks) not in (1, batch_size):
+            raise ValueError(
+                f"got {len(masks)} masks for batch {batch_size}; pass one "
+                "mask, or exactly batch_size masks (one per row)"
+            )
+        keeps = []
+        for m in masks:
+            keep = 1.0 - np.asarray(m, np.float32)
+            yi = (np.arange(lh) * (keep.shape[0] / lh)).astype(np.int32)
+            xi = (np.arange(lw) * (keep.shape[1] / lw)).astype(np.int32)
+            keeps.append(keep[yi][:, xi])
+        keep = jnp.asarray(np.stack(keeps))[..., None]
+        if lat.shape[0] != batch_size:
+            lat = jnp.tile(lat, (batch_size, 1, 1, 1))
+        if keep.shape[0] != batch_size:
+            keep = jnp.tile(keep, (batch_size, 1, 1, 1))
         masked = lat * keep
-        masked = jnp.tile(masked, (batch_size, 1, 1, 1))
-        keep = jnp.tile(keep, (batch_size, 1, 1, 1))
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             extra_a=masked, extra_b=keep, task="inpainting", sampler=sampler,
             sp_mesh=sp_mesh,
+            x_T=check_noise(noise, (batch_size, lh, lw, 4), "noise"),
+            noise_seq=noise_seq,
         )
 
     def generate_controlnet(
@@ -730,7 +846,8 @@ class Kandinsky2_2:
         decoder_guidance_scale=4, prior_guidance_scale=4, h=512, w=512,
         negative_prior_prompt="", negative_decoder_prompt="",
         sampler="ddpm", image=None, strength=0.5, image_embeds=None,
-        sp_mesh=None,
+        sp_mesh=None, noise=None, noise_seq=None, prior_noise=None,
+        prior_noise_seq=None,
     ):
         """ControlNet-depth: ``hint`` is an [H, W, 3] array in [0, 1]
         (e.g. MiDaS depth, host-side preprocessing as in
@@ -740,7 +857,9 @@ class Kandinsky2_2:
         MoVQ-encoded and re-noised at the ``strength``-derived step, and —
         when ``hint`` is omitted — also supplies the depth hint.  A
         precomputed CFG-doubled ``image_embeds`` skips the prior run (the
-        notebook feeds emb2emb prior outputs here)."""
+        notebook feeds emb2emb prior outputs here).  ``noise`` injects the
+        decoder x_T (pure text2img flow) or the re-noising draw (img2img
+        flow); ``noise_seq``/``prior_noise`` as in generate_text2img."""
         batch_size = resolve_batch(prompt, batch_size)
         h, w = get_new_h_w_64(h, w)
         if hint is None:
@@ -753,6 +872,7 @@ class Kandinsky2_2:
             embs = self._embs_for(
                 prompt, negative_prior_prompt, negative_decoder_prompt,
                 batch_size, prior_steps, prior_guidance_scale,
+                prior_noise=prior_noise, prior_noise_seq=prior_noise_seq,
             )
         else:
             embs = image_embeds
@@ -777,13 +897,21 @@ class Kandinsky2_2:
             if lat.shape[0] != batch_size:
                 lat = jnp.tile(lat, (batch_size, 1, 1, 1))
             t0 = int(ladder[0])
-            noise = jax.random.normal(self._next_rng(), lat.shape, jnp.float32)
+            renoise = (
+                check_noise(noise, tuple(lat.shape), "noise")
+                if noise is not None
+                else jax.random.normal(
+                    self._next_rng(), lat.shape, jnp.float32)
+            )
             a = self._decoder_sqrt_acp[t0]
-            x_T = a * lat + jnp.sqrt(1.0 - a**2) * noise
+            x_T = a * lat + jnp.sqrt(1.0 - a**2) * renoise
+        elif noise is not None:
+            x_T = check_noise(
+                noise, (batch_size, h // 8, w // 8, 4), "noise")
         return self._decode_loop(
             embs, batch_size, decoder_steps, decoder_guidance_scale, h, w,
             extra_a=hint, task="controlnet", sampler=sampler, x_T=x_T,
-            ladder=ladder, sp_mesh=sp_mesh,
+            ladder=ladder, sp_mesh=sp_mesh, noise_seq=noise_seq,
         )
 
     # ------------------------------------------------------------------

@@ -109,6 +109,27 @@ def as_prompt_list(prompt, batch_size: int) -> list[str]:
     return prompts
 
 
+def check_noise(noise, shape, name: str = "noise"):
+    """Validate user-injected noise against the shape the trajectory needs.
+
+    Returns the array as float32, or None unchanged.  Day-one fidelity
+    validation (SURVEY §7 "RNG parity") feeds torch-generated normal draws
+    through the public API; a silent shape mismatch there would broadcast or
+    crash deep inside a scanned program, so fail loud at the boundary.
+    """
+    if noise is None:
+        return None
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(noise, jnp.float32)
+    if tuple(arr.shape) != tuple(shape):
+        raise ValueError(
+            f"{name} has shape {tuple(arr.shape)}, expected {tuple(shape)} "
+            "(the exact tensor the pipeline would have drawn internally)"
+        )
+    return arr
+
+
 def resolve_batch(prompt, batch_size: int) -> int:
     """Infer batch size from a prompt list when the caller left it at 1."""
     if not isinstance(prompt, str) and batch_size == 1:
