@@ -13,13 +13,12 @@ needs around the compiled pipelines:
 * Coalesced batches round up to power-of-two buckets (1, 2, 4, ... max_batch)
   by repeating the last prompt, so at most log2(max_batch)+1 executables per
   shape key exist; surplus images are dropped host-side.
-* Tasks: ``text2img`` and ``img2img`` coalesce across users (init images ride
-  per-batch-row, keyed by shape/mode only — content never enters the key);
-  ``inpainting`` runs one request per call because the pipelines take a
-  single mask for the whole batch.  Array/PIL values inside free-form
-  ``**kwargs`` are rejected at submit time: per-request content must go
-  through ``image=`` / ``image_mask=`` so it cannot silently poison the
-  batching key.
+* Tasks: ``text2img``, ``img2img`` AND ``inpainting`` coalesce across users
+  (init images and masks ride per-batch-row, keyed by shape/mode only —
+  content never enters the key; the pipelines accept per-row mask lists).
+  Array/PIL values inside free-form ``**kwargs`` are rejected at submit
+  time: per-request content must go through ``image=`` / ``image_mask=`` so
+  it cannot silently poison the batching key.
 * Backpressure via a bounded queue; clean shutdown.
 
 Device work stays single-threaded (one stream owner); the host side is
@@ -56,19 +55,21 @@ class _Request:
 
     @property
     def coalescable(self) -> bool:
-        # inpainting takes ONE mask per pipeline call; distinct users' masks
-        # cannot share a batch, so those requests execute individually
-        return self.task in ("text2img", "img2img")
+        # all three tasks batch: the pipelines take per-row init images AND
+        # per-row masks, so distinct users' content shares one program
+        return self.task in ("text2img", "img2img", "inpainting")
 
     def shape_key(self) -> Tuple:
         # all **kwargs are static shape/program parameters for every pipeline
         # version (h/w/num_steps for 2.x, decoder_steps/prior_steps for 2.2);
         # requests batch together only when the compiled program is identical.
-        # Per-request content (init image) contributes shape/mode, never
-        # content — each batch row consumes its own image.
+        # Per-request content (init image, mask) contributes shape/mode,
+        # never content — each batch row consumes its own image and mask.
         parts = [("task", self.task)]
         if self.image is not None:
             parts.append(("image", _content_descriptor(self.image)))
+        if self.image_mask is not None:
+            parts.append(("image_mask", _content_descriptor(self.image_mask)))
         parts.extend(sorted((k, str(v)) for k, v in self.kwargs.items()))
         return tuple(parts)
 
@@ -123,20 +124,31 @@ class GenerationServer:
 
     def warmup(self, shapes: List[dict]) -> None:
         """Precompile executables for every (kwargs, batch-bucket) pair.  An
-        entry may carry ``task="img2img"`` to warm the img2img program (a
-        black init image of the requested size is used)."""
+        entry may carry ``task="img2img"`` / ``task="inpainting"`` to warm
+        those programs (a black init image / all-ones mask of the requested
+        size is used)."""
         for kw in shapes:
             kw = dict(kw)
             task = kw.pop("task", "text2img")
             for b in self._buckets():
                 prompts = ["warmup"] * b
-                if task == "img2img":
+                if task in ("img2img", "inpainting"):
                     from PIL import Image
 
                     img = Image.new("RGB", (kw.get("w", 512), kw.get("h", 512)))
-                    self.pipeline.generate_img2img(
-                        prompts, [img] * b, batch_size=b, **kw
-                    )
+                    if task == "inpainting":
+                        import numpy as _np
+
+                        mask = _np.ones(
+                            (kw.get("h", 512), kw.get("w", 512)), _np.float32
+                        )
+                        self.pipeline.generate_inpainting(
+                            prompts, [img] * b, [mask] * b, batch_size=b, **kw
+                        )
+                    else:
+                        self.pipeline.generate_img2img(
+                            prompts, [img] * b, batch_size=b, **kw
+                        )
                 else:
                     self.pipeline.generate_text2img(prompts, batch_size=b, **kw)
 
@@ -160,8 +172,9 @@ class GenerationServer:
         """Enqueue a generation request; returns a Future of list[PIL.Image].
 
         ``task``: "text2img" (default), "img2img" (requires ``image``), or
-        "inpainting" (requires ``image`` + ``image_mask``; executes
-        unbatched).  Per-request content goes through ``image=`` /
+        "inpainting" (requires ``image`` + ``image_mask``; coalesces like
+        the others — masks ride per-row).  Per-request content goes through
+        ``image=`` /
         ``image_mask=`` only — arrays/PIL objects hiding in other kwargs are
         rejected because their content cannot participate in the batch key."""
         if task not in ("text2img", "img2img", "inpainting"):
@@ -229,25 +242,27 @@ class GenerationServer:
                     if batch[0].coalescable:
                         self._stats["padded"] += (
                             self._bucket_for(len(batch)) - len(batch))
+                b = self._bucket_for(len(batch))
+                prompts = [r.prompt for r in batch]
+                prompts += [prompts[-1]] * (b - len(batch))
                 if task == "inpainting":
-                    r = batch[0]
+                    inits = [r.image for r in batch]
+                    inits += [inits[-1]] * (b - len(batch))
+                    masks = [r.image_mask for r in batch]
+                    masks += [masks[-1]] * (b - len(batch))
                     images = self.pipeline.generate_inpainting(
-                        [r.prompt], r.image, r.image_mask, batch_size=1, **kw
+                        prompts, inits, masks, batch_size=b, **kw
+                    )
+                elif task == "img2img":
+                    inits = [r.image for r in batch]
+                    inits += [inits[-1]] * (b - len(batch))
+                    images = self.pipeline.generate_img2img(
+                        prompts, inits, batch_size=b, **kw
                     )
                 else:
-                    b = self._bucket_for(len(batch))
-                    prompts = [r.prompt for r in batch]
-                    prompts += [prompts[-1]] * (b - len(batch))
-                    if task == "img2img":
-                        inits = [r.image for r in batch]
-                        inits += [inits[-1]] * (b - len(batch))
-                        images = self.pipeline.generate_img2img(
-                            prompts, inits, batch_size=b, **kw
-                        )
-                    else:
-                        images = self.pipeline.generate_text2img(
-                            prompts, batch_size=b, **kw
-                        )
+                    images = self.pipeline.generate_text2img(
+                        prompts, batch_size=b, **kw
+                    )
                 for req, img in zip(batch, images):
                     req.future.set_result([img])
             except Exception as e:  # pragma: no cover - error propagation

@@ -136,11 +136,13 @@ def test_img2img_requests_coalesce_with_per_row_images():
         assert np.isfinite(arr.astype(np.float32)).all()
 
 
-def test_array_kwargs_rejected_and_inpainting_unbatched():
+def test_array_kwargs_rejected_and_inpainting_coalesces():
+    """VERDICT round-3 item 7: inpainting batches like img2img — per-row
+    masks, mask content outside the batch key."""
     from PIL import Image
 
     pipe = make_pipe("inpainting")
-    server = GenerationServer(pipe, max_batch=4)
+    server = GenerationServer(pipe, max_batch=4, batch_window_s=0.2)
     # arrays hiding in free-form kwargs cannot enter the batch key
     import pytest
 
@@ -148,22 +150,25 @@ def test_array_kwargs_rejected_and_inpainting_unbatched():
         server.submit("a cat", init=np.zeros((64, 64, 3)))
     with pytest.raises(ValueError, match="requires image"):
         server.submit("a cat", task="img2img")
-    # inpainting executes one request per call (single mask per program)
+    # two users, two DIFFERENT masks of the same shape: ONE batched call
     calls = []
     real = pipe.generate_inpainting
 
     def counting(prompt, pil_img, img_mask, **kw):
-        calls.append((list(prompt), kw.get("batch_size")))
+        calls.append((list(prompt), len(pil_img), len(img_mask),
+                      kw.get("batch_size")))
         return real(prompt, pil_img, img_mask, **kw)
 
     pipe.generate_inpainting = counting
     src = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
-    mask = np.zeros((64, 64), np.float32)
-    mask[16:48, 16:48] = 1
+    mask_a = np.zeros((64, 64), np.float32)
+    mask_a[:32] = 1
+    mask_b = np.zeros((64, 64), np.float32)
+    mask_b[32:] = 1
     kw = dict(h=64, w=64, num_steps=4, sampler="p_sampler", prior_steps="3")
     futs = [
-        server.submit(p, task="inpainting", image=src, image_mask=mask, **kw)
-        for p in ["cat", "dog"]
+        server.submit(p, task="inpainting", image=src, image_mask=m, **kw)
+        for p, m in [("cat", mask_a), ("dog", mask_b)]
     ]
     server.start()
     try:
@@ -171,7 +176,8 @@ def test_array_kwargs_rejected_and_inpainting_unbatched():
             assert len(f.result(timeout=600)) == 1
     finally:
         server.stop()
-    assert calls == [(["cat"], 1), (["dog"], 1)]
+    assert calls == [(["cat", "dog"], 2, 2, 2)], calls
+    assert server.stats()["coalesced"] == 2
 
 
 @pytest.mark.slow
