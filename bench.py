@@ -48,9 +48,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--res", type=int, default=768)
+    ap.add_argument("--res", default="768", metavar="R|WxH",
+                    help="square size (768) or WxH (1024x768)")
     ap.add_argument("--sampler", default="ddim_sampler")
     ap.add_argument("--version", default="2.1", choices=["2.1", "2.2"])
+    ap.add_argument("--task", default="text2img",
+                    choices=["text2img", "controlnet"],
+                    help="controlnet (2.2 only): BASELINE config 5's "
+                    "depth-hint decoder")
+    ap.add_argument("--lora", action="store_true",
+                    help="merge a random rank-4 LoRA into the decoder before "
+                    "measuring (models/lora.merge_lora — folded kernels, the "
+                    "serving path; zero runtime branches)")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-stage wall time + XLA FLOPs + MFU vs the "
+                    "chip's bf16 peak; writes BENCH_PROFILE.json")
     ap.add_argument("--batch", type=int, default=1, metavar="B",
                     help="images per program call; sec/image divides by B "
                     "(throughput mode: amortizes the text/prior stages and "
@@ -81,6 +93,15 @@ def main():
         args.steps, args.turbo = 15, 3
         args.sampler = ("dpmpp_karras_sampler" if args.version == "2.1"
                         else "dpmpp_karras")
+
+    if "x" in str(args.res):
+        res_w, res_h = (int(v) for v in str(args.res).split("x"))
+    else:
+        res_w = res_h = int(args.res)
+    if args.task == "controlnet" and args.version != "2.2":
+        sys.exit("--task controlnet requires --version 2.2")
+    if args.lora and args.version != "2.2":
+        sys.exit("--lora measures the 2.2 decoder (BASELINE config 5)")
 
     import jax
 
@@ -152,11 +173,22 @@ def main():
                           attn_resolutions=(8,), resolution=64),
             )
         pipe = Kandinsky2_2(tokenizer=tok22, dtype=jnp.bfloat16,
-                            overrides=overrides)
+                            overrides=overrides, task_type=args.task)
         t0 = time.time()
         pipe.init_random_params(cast=jnp.bfloat16)
         print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}",
               file=sys.stderr)
+        if args.lora:
+            # BASELINE config 5 serving path: rank-4 LoRA FOLDED into the
+            # base kernels (W += down@up) — the jitted graph is unchanged,
+            # so adapted weights run at exactly base-model speed
+            from kandinsky2_tpu.models.lora import init_lora, merge_lora
+
+            loras = init_lora(pipe.params["unet"], jax.random.PRNGKey(0),
+                              rank=4)
+            pipe.params["unet"] = merge_lora(pipe.params["unet"], loras)
+            print(f"# merged rank-4 LoRA over {len(loras)} kernels "
+                  "(folded; zero runtime branches)", file=sys.stderr)
         # 2.2 decoder sampler names; reject names with no 2.2 equivalent
         sampler22 = {
             "ddim_sampler": "ddpm", "ddpm": "ddpm",
@@ -167,12 +199,18 @@ def main():
         if sampler22 is None:
             sys.exit(f"--sampler {args.sampler} has no 2.2 decoder equivalent")
         kw = dict(
-            decoder_steps=args.steps, batch_size=args.batch, h=args.res, w=args.res,
+            decoder_steps=args.steps, batch_size=args.batch, h=res_h, w=res_w,
             prior_steps=(10 if args.stack else 25) if not args.small else 3,
             decoder_guidance_scale=4, prior_guidance_scale=4,
             turbo_interval=args.turbo, sampler=sampler22,
             prior_sampler="dpmpp" if args.stack else "ddpm",
         )
+        if args.task == "controlnet":
+            kw.pop("prior_sampler")  # controlnet entry has no prior_sampler
+            if args.turbo > 1:
+                sys.exit("--turbo with --task controlnet is not wired in "
+                         "this bench")
+            kw.pop("turbo_interval")
     elif args.weights:
         # real-weights mode: exercises the true host tokenizers and trained
         # activation ranges in bf16 (gated on a pre-fetched cache dir)
@@ -191,7 +229,7 @@ def main():
         print(f"# loaded real checkpoints in {time.time()-t0:.1f}s",
               file=sys.stderr)
         kw = dict(
-            num_steps=args.steps, batch_size=args.batch, h=args.res, w=args.res,
+            num_steps=args.steps, batch_size=args.batch, h=res_h, w=res_w,
             sampler=args.sampler, prior_steps="25",
             guidance_scale=4, turbo_interval=args.turbo,
         )
@@ -204,7 +242,7 @@ def main():
         print(f"# init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
         kw = dict(
-            num_steps=args.steps, batch_size=args.batch, h=args.res, w=args.res,
+            num_steps=args.steps, batch_size=args.batch, h=res_h, w=res_w,
             sampler=args.sampler,
             prior_steps=("dpmpp10" if args.stack else "25")
             if not args.small else "5",
@@ -219,15 +257,61 @@ def main():
         pipe.shard(model_parallel=args.tp,
                    min_size=64 if args.small else 1024)
 
+    if args.profile:
+        from kandinsky2_tpu.profiling import profile_21, profile_22
+
+        if args.version == "2.2":
+            prof = profile_22(
+                pipe, h=res_h, w=res_w, batch=args.batch, steps=args.steps,
+                prior_steps=kw.get("prior_steps", 25), iters=10,
+                hint=(args.task == "controlnet"),
+            )
+        else:
+            ps = str(kw.get("prior_steps", "25"))
+            prof = profile_21(
+                pipe, h=res_h, w=res_w, batch=args.batch, steps=args.steps,
+                prior_steps=int("".join(c for c in ps if c.isdigit()) or 25),
+                iters=10,
+            )
+        prof["device"] = str(jax.devices()[0])
+        prof["lora_merged"] = bool(args.lora)
+        # one artifact, one entry per profiled configuration (family plus
+        # resolution when off the 768² default), accumulated across runs
+        key = prof["family"]
+        if (res_w, res_h) != (768, 768):
+            key += f"@{res_w}x{res_h}"
+        if args.small:  # smoke runs must not overwrite real-config entries
+            print(json.dumps({key + " [tiny-config smoke]": prof}))
+            return
+        try:
+            with open("BENCH_PROFILE.json") as f:
+                book = json.load(f)
+            if "stages" in book:  # pre-merge flat format
+                book = {book.get("family", "2.1"): book}
+        except (OSError, ValueError):
+            book = {}
+        book[key] = prof
+        with open("BENCH_PROFILE.json", "w") as f:
+            json.dump(book, f, indent=2)
+        print(json.dumps({key: prof}))
+        return
+
+    if args.task == "controlnet":
+        rng = np.random.RandomState(0)
+        hint = rng.rand(res_h, res_w, 3).astype(np.float32)
+        gen = lambda prompt: pipe.generate_controlnet(prompt, hint=hint, **kw)
+    else:
+        gen = lambda prompt: pipe.generate_text2img(prompt, **kw)
+
     t0 = time.time()
-    pipe.generate_text2img("a portrait of a cosmonaut riding a horse", **kw)
+    gen("a portrait of a cosmonaut riding a horse")
     compile_time = time.time() - t0
     print(f"# first call (compile+run) {compile_time:.1f}s", file=sys.stderr)
 
     runs = []
     for _ in range(3 if not args.small else 2):
         t0 = time.time()
-        pipe.generate_text2img("red sand dunes under a violet sky", **kw)
+        gen("red sand dunes under a violet sky")
         runs.append(time.time() - t0)
     value = float(min(runs)) / args.batch
     print(f"# steady-state runs: {[f'{r:.3f}' for r in runs]}", file=sys.stderr)
@@ -236,9 +320,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"sec/image {args.res}^2 {args.steps}-step "
-                f"Kandinsky-{args.version} text2img "
-                "(prior+UNet+MoVQ e2e, bf16, "
+                "metric": f"sec/image "
+                + (f"{res_w}x{res_h}" if res_w != res_h else f"{res_h}^2")
+                + f" {args.steps}-step "
+                f"Kandinsky-{args.version} {args.task}"
+                + ("+LoRA(folded)" if args.lora else "")
+                + " (prior+UNet+MoVQ e2e, bf16, "
                 + (f"TP={args.tp})" if args.tp > 1 else "1 chip)")
                 + (" [tiny-config smoke]" if args.small else "")
                 + (f" sampler={args.sampler}"
