@@ -20,6 +20,15 @@ needs around the compiled pipelines:
   time: per-request content must go through ``image=`` / ``image_mask=`` so
   it cannot silently poison the batching key.
 * Backpressure via a bounded queue; clean shutdown.
+* LoRA hot-swap at base-model speed: ``attach_lora(name, loras)`` registers
+  an adapter; requests select it with ``submit(..., lora=name)``.  On an
+  adapter switch the device-owner thread FOLDS the factors into the base
+  kernels (``models.lora.merge_lora`` — W += down@up, same shapes, so the
+  jitted executable is reused with zero runtime branches) after restoring
+  the pristine base leaves snapshotted at attach time (restore-then-merge:
+  bitwise-exact across any number of swaps, no bf16 round-trip drift).
+  The adapter name is part of the batch key — rows in one program call
+  always share one weight tree.
 
 Device work stays single-threaded (one stream owner); the host side is
 thread-safe.
@@ -51,6 +60,7 @@ class _Request:
     task: str = "text2img"
     image: Any = None
     image_mask: Any = None
+    lora: Optional[str] = None
     future: Future = field(default_factory=Future)
 
     @property
@@ -65,7 +75,7 @@ class _Request:
         # requests batch together only when the compiled program is identical.
         # Per-request content (init image, mask) contributes shape/mode,
         # never content — each batch row consumes its own image and mask.
-        parts = [("task", self.task)]
+        parts = [("task", self.task), ("lora", self.lora)]
         if self.image is not None:
             parts.append(("image", _content_descriptor(self.image)))
         if self.image_mask is not None:
@@ -92,7 +102,16 @@ class GenerationServer:
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "coalesced": 0,
-                       "padded": 0, "errors": 0}
+                       "padded": 0, "errors": 0, "lora_swaps": 0}
+        # adapter registry: name -> (loras, scale, module); pristine base
+        # leaves snapshotted per (module, path) the first time any adapter
+        # targets them; the currently folded adapter + its fold recipe (kept
+        # separately so a detach can't strand folded weights)
+        self._lora_lock = threading.Lock()
+        self._loras: Dict[str, Tuple[dict, float, str]] = {}
+        self._pristine: Dict[Tuple[str, tuple], Any] = {}
+        self._active_lora: Optional[str] = None
+        self._folded: Optional[Tuple[dict, float, str]] = None
 
     def stats(self) -> Dict[str, float]:
         """Serving counters since start: requests served, device batches
@@ -105,6 +124,65 @@ class GenerationServer:
         s["coalesce_ratio"] = (
             s["requests"] / s["batches"] if s["batches"] else 0.0)
         return s
+
+    # ------------------------------------------------------------------
+    # LoRA hot-swap
+
+    def attach_lora(self, name: str, loras: dict, *, scale: float = 1.0,
+                    module: str = "unet") -> None:
+        """Register a LoRA adapter (``models.lora`` factor dict: {path:
+        {down, up}}) under ``name``; requests opt in with
+        ``submit(..., lora=name)``.  Pristine base leaves are snapshotted
+        here for every newly-targeted kernel, so later folds are computed
+        from the true base regardless of swap history.  Cheap: nothing
+        touches the device until a request selects the adapter."""
+        if not loras:
+            raise ValueError("empty LoRA factor dict")
+        with self._lora_lock:
+            tree = self.pipeline.params[module]
+            for path in loras:
+                key = (module, tuple(path))
+                if key not in self._pristine:
+                    # not yet snapshotted => currently unfolded => pristine
+                    from .models.lora import _get
+
+                    self._pristine[key] = _get(tree, path)
+            self._loras[name] = (loras, float(scale), module)
+
+    def detach_lora(self, name: str) -> None:
+        """Remove an adapter from the registry.  If it is currently folded
+        it stays folded until the next request with a different (or no)
+        adapter triggers the usual restore — the fold recipe is kept
+        internally, so detaching can never strand adapted weights."""
+        with self._lora_lock:
+            del self._loras[name]
+
+    def _ensure_lora(self, name: Optional[str]) -> None:
+        """Device-owner-thread only: make ``name`` the folded adapter.
+        Restores the pristine leaves of whatever is folded now, then folds
+        the requested adapter from the pristine base (restore-then-merge:
+        exact, no accumulation error across swaps)."""
+        if name == self._active_lora:
+            return
+        from .models.lora import _set, merge_lora
+
+        with self._lora_lock:
+            params = self.pipeline.params
+            if self._folded is not None:
+                loras, _, module = self._folded
+                tree = params[module]
+                for path in loras:
+                    tree = _set(tree, path, self._pristine[(module, tuple(path))])
+                params[module] = tree
+                self._folded = None
+            if name is not None:
+                entry = self._loras[name]
+                loras, scale, module = entry
+                params[module] = merge_lora(params[module], loras, scale)
+                self._folded = entry
+            self._active_lora = name
+        with self._stats_lock:
+            self._stats["lora_swaps"] += 1
 
     # ------------------------------------------------------------------
 
@@ -167,18 +245,26 @@ class GenerationServer:
 
     def submit(
         self, prompt: str, *, task: str = "text2img", image=None,
-        image_mask=None, **kwargs,
+        image_mask=None, lora: Optional[str] = None, **kwargs,
     ) -> Future:
         """Enqueue a generation request; returns a Future of list[PIL.Image].
 
         ``task``: "text2img" (default), "img2img" (requires ``image``), or
         "inpainting" (requires ``image`` + ``image_mask``; coalesces like
-        the others — masks ride per-row).  Per-request content goes through
-        ``image=`` /
+        the others — masks ride per-row).  ``lora``: name of an adapter
+        previously registered with :meth:`attach_lora`; the worker folds it
+        into the base kernels before the batch runs (requests with the same
+        adapter coalesce; different adapters never share a program call).
+        Per-request content goes through ``image=`` /
         ``image_mask=`` only — arrays/PIL objects hiding in other kwargs are
         rejected because their content cannot participate in the batch key."""
         if task not in ("text2img", "img2img", "inpainting"):
             raise ValueError(f"unsupported serving task: {task!r}")
+        if lora is not None:
+            with self._lora_lock:
+                if lora not in self._loras:
+                    raise KeyError(
+                        f"unknown LoRA adapter {lora!r}; attach_lora first")
         if task != "text2img" and image is None:
             raise ValueError(f"task={task!r} requires image=")
         if task == "inpainting" and image_mask is None:
@@ -191,7 +277,7 @@ class GenerationServer:
                 )
         req = _Request(
             prompt=prompt, kwargs=kwargs, task=task, image=image,
-            image_mask=image_mask,
+            image_mask=image_mask, lora=lora,
         )
         self._queue.put(req)
         return req.future
@@ -234,6 +320,7 @@ class GenerationServer:
                 # sizes 3, 5, 6... reuse the 4- and 8-wide executables
                 task = batch[0].task
                 kw = batch[0].kwargs
+                self._ensure_lora(batch[0].lora)
                 with self._stats_lock:
                     self._stats["requests"] += len(batch)
                     self._stats["batches"] += 1

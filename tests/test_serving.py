@@ -262,3 +262,96 @@ def test_parse_warmup_spec():
 
     with pytest.raises(ValueError):
         parse_warmup_spec("h:768")
+
+
+def test_lora_hot_swap_restores_base_bitwise():
+    """Adapter switches are restore-then-merge from pristine snapshots:
+    after A -> B -> None the base kernels are BITWISE the originals (no
+    bf16 round-trip drift), and each fold actually changes the weights."""
+    import jax
+
+    from kandinsky2_tpu.models.lora import _get, init_lora
+
+    pipe = make_pipe()
+    server = GenerationServer(pipe)  # not started: drive the fold directly
+
+    loras_a = init_lora(pipe.params["unet"], jax.random.PRNGKey(1), rank=2)
+    assert loras_a, "tiny UNet must expose LoRA target kernels"
+    # init_lora zero-inits `up` (identity merge); make both adapters bite
+    loras_a = {p: {"down": f["down"], "up": f["up"] + 0.5}
+               for p, f in loras_a.items()}
+    loras_b = {p: {"down": f["down"], "up": f["up"] - 1.0}
+               for p, f in loras_a.items()}
+    paths = list(loras_a)
+    originals = {p: np.asarray(_get(pipe.params["unet"], p)) for p in paths}
+
+    server.attach_lora("A", loras_a)
+    server.attach_lora("B", loras_b, scale=0.5)
+
+    server._ensure_lora("A")
+    folded_a = {p: np.asarray(_get(pipe.params["unet"], p)) for p in paths}
+    assert any((folded_a[p] != originals[p]).any() for p in paths)
+
+    server._ensure_lora("B")
+    folded_b = {p: np.asarray(_get(pipe.params["unet"], p)) for p in paths}
+    assert any((folded_b[p] != folded_a[p]).any() for p in paths)
+
+    server._ensure_lora(None)
+    for p in paths:
+        assert (np.asarray(_get(pipe.params["unet"], p))
+                == originals[p]).all(), f"leaf {p} not restored bitwise"
+    assert server.stats()["lora_swaps"] == 3
+
+    # detaching the folded adapter keeps the fold recipe: a later switch
+    # still restores pristine weights
+    server._ensure_lora("A")
+    server.detach_lora("A")
+    server._ensure_lora(None)
+    for p in paths:
+        assert (np.asarray(_get(pipe.params["unet"], p))
+                == originals[p]).all()
+
+    with pytest.raises(KeyError):
+        server.submit("x", lora="A")  # detached
+    with pytest.raises(KeyError):
+        server.submit("x", lora="never-attached")
+
+
+@pytest.mark.slow
+def test_lora_requests_batch_per_adapter():
+    """Requests naming the same adapter coalesce; different adapters (or
+    base) never share a program call, and the adapter changes the output."""
+    import jax
+
+    from kandinsky2_tpu.models.lora import init_lora
+
+    pipe = make_pipe()
+    calls = []
+    real = pipe.generate_text2img
+
+    def counting(prompt, **kw):
+        calls.append(len(prompt) if not isinstance(prompt, str) else 1)
+        return real(prompt, **kw)
+
+    pipe.generate_text2img = counting
+    server = GenerationServer(pipe, max_batch=4, batch_window_s=0.2)
+    loras = init_lora(pipe.params["unet"], jax.random.PRNGKey(1), rank=2)
+    loras = {p: {"down": f["down"] * 30.0, "up": f["up"] + 30.0}
+             for p, f in loras.items()}
+    server.attach_lora("style", loras)
+
+    kw = dict(h=64, w=64, num_steps=4, sampler="ddim_sampler", prior_steps="3")
+    futs = [server.submit("a red cat", **kw),
+            server.submit("a red cat", lora="style", **kw),
+            server.submit("a blue dog", lora="style", **kw)]
+    server.start()
+    try:
+        base, s1, s2 = [f.result(timeout=600) for f in futs]
+    finally:
+        server.stop()
+    # one base call + one coalesced 2-wide adapter call
+    assert sorted(calls) == [1, 2], calls
+    a, b = np.asarray(base[0], np.float32), np.asarray(s1[0], np.float32)
+    assert a.shape == b.shape == (64, 64, 3)
+    assert np.abs(a - b).max() > 1.0, "adapter fold must change the output"
+    assert np.isfinite(b).all() and np.isfinite(np.asarray(s2[0], np.float32)).all()
