@@ -26,6 +26,7 @@ run hires_21.py      --small --out "$OUT/hires_21.png"
 run text2img_22.py   --small --out "$OUT/t2i_22.png"
 run controlnet_22.py --small --out "$OUT/ctl_22.png"
 run lora_22.py       --small --out "$OUT/lora_22.png"
+run serving_lora.py  --small
 run train_decoder.py --small
 run train_prior.py   --small
 run train_lora_22.py --small --steps 5 --out "$OUT/lora_train_22.png"
