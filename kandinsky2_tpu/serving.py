@@ -43,6 +43,36 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 
+_fold_kernels = None
+
+
+def _get_fold_kernels():
+    """ONE compiled program computing every merged kernel: W + s·down@up in
+    fp32, cast back to the kernel dtype.  Folding eagerly per-kernel (396
+    dispatches for the 2.2 decoder) queues hundreds of fp32 temporaries
+    through the async tunnel client and can exhaust HBM next to a
+    fully-loaded pipeline; fused, the transient working set is one kernel."""
+    global _fold_kernels
+    if _fold_kernels is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("scale",))
+        def fold(base, loras, scale=1.0):
+            return {
+                k: (w.astype(jnp.float32)
+                    + scale * (loras[k]["down"].astype(jnp.float32)
+                               @ loras[k]["up"].astype(jnp.float32))
+                    ).astype(w.dtype)
+                for k, w in base.items()
+            }
+
+        _fold_kernels = fold
+    return _fold_kernels
+
+
 def _content_descriptor(v) -> Optional[Tuple]:
     """Shape/dtype (or PIL size/mode) descriptor for per-request content —
     what batching may key on.  Returns None for plain static values."""
@@ -164,7 +194,7 @@ class GenerationServer:
         exact, no accumulation error across swaps)."""
         if name == self._active_lora:
             return
-        from .models.lora import _set, merge_lora
+        from .models.lora import _set
 
         with self._lora_lock:
             params = self.pipeline.params
@@ -178,7 +208,15 @@ class GenerationServer:
             if name is not None:
                 entry = self._loras[name]
                 loras, scale, module = entry
-                params[module] = merge_lora(params[module], loras, scale)
+                base = {"/".join(p): self._pristine[(module, tuple(p))]
+                        for p in loras}
+                merged = _get_fold_kernels()(
+                    base, {"/".join(p): f for p, f in loras.items()},
+                    scale=scale)
+                tree = params[module]
+                for p in loras:
+                    tree = _set(tree, p, merged["/".join(p)])
+                params[module] = tree
                 self._folded = entry
             self._active_lora = name
         with self._stats_lock:
