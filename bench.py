@@ -77,6 +77,19 @@ def main():
                     help="tensor-parallel: shard the pipeline over an N-way "
                     "model mesh axis (pipe.shard) before measuring — for "
                     "multi-chip hardware (needs >= N devices)")
+    ap.add_argument("--norm", default="full", choices=["full", "stats"],
+                    help="GroupNorm precision policy (models/layers."
+                    "set_norm_precision): 'full' normalizes in fp32 "
+                    "(reference parity), 'stats' keeps only mean/var in "
+                    "fp32 and normalizes in bf16 (opt-in, ~5%% faster "
+                    "UNet step)")
+    ap.add_argument("--norm-impl", default="auto",
+                    choices=["auto", "pallas", "xla"],
+                    help="GroupNorm lowering (models/layers.set_norm_impl): "
+                    "'auto'/'xla' = barriered single-pass XLA lowering "
+                    "(measured fastest); 'pallas' = fused kernels "
+                    "(ops/group_norm.py, lower traffic but more launches) "
+                    "for A/B")
     ap.add_argument("--stack", action="store_true",
                     help="preset: all opt-in levers stacked (2.1 only) — "
                     "karras 15 decoder steps + dpmpp-10 prior + turbo 3; "
@@ -112,6 +125,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
+
+    if args.norm != "full":
+        from kandinsky2_tpu.models.layers import set_norm_precision
+
+        set_norm_precision(args.norm)
+    if args.norm_impl != "auto":
+        from kandinsky2_tpu.models.layers import set_norm_impl
+
+        set_norm_impl(args.norm_impl)
 
     from kandinsky2_tpu.configs import CONFIG_2_1, deep_copy_config
     from kandinsky2_tpu.pipelines import Kandinsky2_1

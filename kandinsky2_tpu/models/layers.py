@@ -46,11 +46,33 @@ def timestep_embedding(
 # traffic in bf16 torsos).  Set BEFORE building/jitting a model.
 _NORM_MODE = "full"
 
+# Norm implementation: "xla" (default, and what "auto" resolves to) lowers
+# the single-stats-pass + coefficient-barrier formulation below — measured
+# fastest on the v5e (51.7 ms 768² UNet step vs 59.0 for the naive grouped
+# reshape).  "pallas" routes eligible shapes through the fused two-kernel
+# GroupNorm (ops/group_norm.py); it reaches the theoretical traffic floor
+# (22.9 GB/step vs 33.0) but loses on wall clock (78.6 ms) because ~120
+# Mosaic kernel launches per UNet step cost more than the saved bandwidth —
+# kept as an opt-in for shapes/batches where the tradeoff flips.
+_NORM_IMPL = "xla"
+
 
 def set_norm_precision(mode: str) -> None:
     global _NORM_MODE
     assert mode in ("full", "stats")
     _NORM_MODE = mode
+
+
+def set_norm_impl(impl: str) -> None:
+    global _NORM_IMPL
+    assert impl in ("pallas", "xla", "auto")
+    _NORM_IMPL = impl
+
+
+def _norm_use_pallas() -> bool:
+    # pallas only when explicitly requested AND not on the CPU backend's
+    # slow interpreter (tests force it via set_norm_impl("pallas")).
+    return _NORM_IMPL == "pallas"
 
 
 class GroupNorm32(nn.Module):
@@ -67,44 +89,90 @@ class GroupNorm32(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        film: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """``film=(scale, shift)`` ([B, C] or [B, 1, 1, C]) applies the
+        ResBlock scale-shift conditioning ``norm(x)·(1+scale)+shift`` fused
+        into the normalize coefficients (then ``swish`` on top)."""
         orig_dtype = x.dtype
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         g = self.num_groups
+        cs = C // g
+        if film is not None:
+            film = tuple(f.reshape(f.shape[0], C) for f in film)
+        if self.axis_name is None and _norm_use_pallas():
+            from ..ops.group_norm import (
+                pallas_group_norm,
+                pallas_group_norm_ok,
+            )
+
+            if pallas_group_norm_ok(x, g):
+                return pallas_group_norm(
+                    x, scale, bias, g, self.eps, swish=self.swish, film=film
+                )
+        # Stats via per-channel fp32 reductions + a tiny [B, C] -> [B, G]
+        # combine.  Reshaping the full tensor into [B, HW, G, C/G] (the
+        # obvious translation of torch GroupNorm) splits the lane-minor
+        # channel axis, which XLA:TPU implements as a full-tensor relayout
+        # copy in HBM on BOTH sides of the stats — at 768² those copies were
+        # the largest single traffic term in the compiled UNet step and MoVQ
+        # decode.  Per-channel reduce + broadcasted per-channel normalize
+        # keeps every big-tensor op in the native layout: the whole norm is
+        # two fused passes over x (one reduce, one elementwise).
+        red = tuple(range(1, x.ndim - 1))
+        n_local = 1
+        for i in red:
+            n_local *= x.shape[i]
+        x32 = x.astype(jnp.float32)
+        # Both moments from ONE pass over x (sibling reduces fuse): a second
+        # (x - mean)² pass would make XLA materialize the fp32 difference
+        # tensor to share it with the normalize — at 768² those fp32
+        # buffers (+ their relayout copies) were ~15% of the compiled UNet
+        # step's HBM traffic.  E[x²] − mean² loses nothing here: fp32
+        # accumulation over bf16 activations with O(1) group means.
+        s1 = x32.sum(axis=red)  # [B, C]
+        s2 = (x32 * x32).sum(axis=red)  # [B, C]
+        cnt = jnp.float32(n_local * cs)
         if self.axis_name is not None:
-            y = x.astype(jnp.float32)
-            grouped = y.reshape(y.shape[0], -1, g, C // g)
-            cnt = jax.lax.psum(
-                jnp.float32(grouped.shape[1] * grouped.shape[3]), self.axis_name
-            )
-            mean = jax.lax.psum(
-                grouped.sum(axis=(1, 3), keepdims=True), self.axis_name
-            ) / cnt
-            var = jax.lax.psum(
-                ((grouped - mean) ** 2).sum(axis=(1, 3), keepdims=True),
-                self.axis_name,
-            ) / cnt
-            grouped = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
-            y = (grouped.reshape(y.shape) * scale + bias).astype(orig_dtype)
-        elif _NORM_MODE == "full":
-            y = x.astype(jnp.float32)
-            grouped = y.reshape(y.shape[0], -1, g, C // g)
-            mean = grouped.mean(axis=(1, 3), keepdims=True)
-            var = grouped.var(axis=(1, 3), keepdims=True)
-            grouped = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
-            y = (grouped.reshape(y.shape) * scale + bias).astype(orig_dtype)
+            # spatial rows device-sharded: stats span the full image
+            s1 = jax.lax.psum(s1, self.axis_name)
+            s2 = jax.lax.psum(s2, self.axis_name)
+            cnt = jax.lax.psum(cnt, self.axis_name)
+        bshape = (x.shape[0],) + (1,) * len(red) + (C,)
+        mean_g = s1.reshape(s1.shape[0], g, cs).sum(-1) / cnt  # [B, G]
+        ex2_g = s2.reshape(s2.shape[0], g, cs).sum(-1) / cnt
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.eps)
+        # Fold (x - mean) * inv * scale + bias into x * a + b so the
+        # normalize is a single fused multiply-add with per-channel
+        # coefficients — no big subexpression shared with the stats pass.
+        inv_c = jnp.repeat(inv_g, cs, axis=-1)  # [B, C]
+        mean_c = jnp.repeat(mean_g, cs, axis=-1)
+        a2 = inv_c * scale
+        b2 = bias - mean_c * a2
+        if film is not None:
+            fm = 1.0 + film[0].astype(jnp.float32)
+            a2 = a2 * fm
+            b2 = b2 * fm + film[1].astype(jnp.float32)
+        # Barrier the tiny [B, C] coefficients: without it XLA materializes
+        # their broadcast to the FULL activation shape in fp32 (plus a
+        # relayout copy) as standalone ops feeding the conv fusion — ~15% of
+        # the compiled 768² UNet step's HBM traffic.  Isolated, the broadcast
+        # fuses into the consumer and never touches HBM.
+        a2, b2 = jax.lax.optimization_barrier((a2, b2))
+        a = a2.reshape(bshape)
+        b = b2.reshape(bshape)
+        if _NORM_MODE == "full" or self.axis_name is not None:
+            y = (x32 * a + b).astype(orig_dtype)
         else:
-            grouped = x.reshape(x.shape[0], -1, g, C // g)
-            g32 = grouped.astype(jnp.float32)
-            mean = g32.mean(axis=(1, 3), keepdims=True)
-            var = g32.var(axis=(1, 3), keepdims=True)
-            inv = jax.lax.rsqrt(var + self.eps)
-            y = (grouped - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
-            y = y.reshape(x.shape) * scale.astype(orig_dtype) + bias.astype(
-                orig_dtype
-            )
+            # "stats": normalize arithmetic in the activation dtype (the
+            # stats themselves are always fp32)
+            y = x * a.astype(orig_dtype) + b.astype(orig_dtype)
         if self.swish == 1.0:
             y = jax.nn.silu(y)
         elif self.swish:

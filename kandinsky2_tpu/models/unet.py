@@ -86,10 +86,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
+            # FiLM folded into the norm's per-channel coefficients (fused
+            # with the normalize+SiLU pass on the Pallas path)
             h = GroupNorm32(
-                swish=0.0, axis_name=self.sp_axis, name="out_layers.0"
-            )(h) * (1 + scale) + shift
-            h = jax.nn.silu(h)
+                swish=1.0, axis_name=self.sp_axis, name="out_layers.0"
+            )(h, film=(scale, shift))
         else:
             h = h + emb_out
             h = GroupNorm32(swish=1.0, axis_name=self.sp_axis, name="out_layers.0")(h)

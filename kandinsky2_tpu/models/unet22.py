@@ -86,12 +86,11 @@ class ResnetBlock22(nn.Module):
             jax.nn.silu(temb)
         ).astype(h.dtype)[:, None, None, :]
         scale, shift = jnp.split(emb, 2, axis=-1)
+        # FiLM folded into the norm coefficients (fused on the Pallas path)
         h = GroupNorm32(
-            num_groups=32, eps=self.eps, swish=0.0, axis_name=self.sp_axis,
+            num_groups=32, eps=self.eps, swish=1.0, axis_name=self.sp_axis,
             name="norm2",
-        )(h)
-        h = h * (1 + scale) + shift
-        h = jax.nn.silu(h)
+        )(h, film=(scale, shift))
         h = _c3(self.out_channels, "conv2", self.dtype, self.sp_axis)(h)
         if self.in_channels != self.out_channels:
             x = dense(self.out_channels, "conv_shortcut", self.dtype)(x)

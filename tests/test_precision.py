@@ -39,3 +39,53 @@ def test_fp32_master_optimizer_accumulates_small_updates():
     np.testing.assert_allclose(np.asarray(masters), 1.0 - 8e-3, atol=1e-5)
     # live params follow the master trajectory in bf16 resolution
     assert float(params["w"][0]) < 1.0
+
+
+def _grouped_oracle(x, scale, bias, g, eps):
+    """torch.nn.GroupNorm semantics via the literal grouped reshape."""
+    B, C = x.shape[0], x.shape[-1]
+    y = x.astype(np.float32).reshape(B, -1, g, C // g)
+    mean = y.mean(axis=(1, 3), keepdims=True)
+    var = y.var(axis=(1, 3), keepdims=True)
+    y = (y - mean) / np.sqrt(var + eps)
+    return y.reshape(x.shape) * scale + bias
+
+
+def test_group_norm_matches_grouped_reshape_oracle():
+    """The reshape-free formulation (per-channel reductions + [B,C]->[B,G]
+    combine; no full-tensor grouped relayout) must equal the literal torch
+    GroupNorm computation."""
+    from kandinsky2_tpu.models.layers import GroupNorm32
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 6, 6, 64).astype(np.float32) * 3 + 1.5
+    m = GroupNorm32(num_groups=32, eps=1e-5)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    scale = rng.randn(64).astype(np.float32)
+    bias = rng.randn(64).astype(np.float32)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    want = _grouped_oracle(x, scale, bias, 32, 1e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_stats_mode_close_to_full():
+    """'stats' keeps fp32 statistics but normalizes in the activation dtype;
+    on bf16 activations it must stay within bf16 rounding of 'full'."""
+    from kandinsky2_tpu.models.layers import GroupNorm32, set_norm_precision
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32)).astype(
+        jnp.bfloat16)
+    m = GroupNorm32(num_groups=32, eps=1e-5)
+    params = m.init(jax.random.PRNGKey(0), x)
+    full = np.asarray(m.apply(params, x), np.float32)
+    set_norm_precision("stats")
+    try:
+        stats = np.asarray(m.apply(params, x), np.float32)
+    finally:
+        set_norm_precision("full")
+    assert np.isfinite(stats).all()
+    # bf16 has ~2-3 significant decimal digits; outputs are O(1)
+    np.testing.assert_allclose(stats, full, atol=0.1)
+    assert np.abs(stats - full).mean() < 0.02
