@@ -201,14 +201,36 @@ def load_lpips_weights(path: str) -> Dict:
     return params
 
 
+def _unwrap_lpips_sd(sd) -> Dict:
+    """Normalize a torch.load result to a flat tensor dict.
+
+    Accepts a plain state_dict, a pickled module (unwrapped via its
+    ``state_dict()``), or a full ``lpips.LPIPS`` pickle/state_dict — whose
+    backbone lives under ``net.sliceK.IDX.*`` (lpips pretrained_networks
+    keeps torchvision's original feature indices inside each slice); those
+    keys are mapped back to torchvision's ``features.IDX.*`` namespace so
+    one full-LPIPS file can serve as BOTH the alexnet and the lin input.
+    """
+    if hasattr(sd, "state_dict") and callable(sd.state_dict):
+        sd = sd.state_dict()
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("net.slice"):
+            k = "features." + k.split(".", 2)[2]
+        out[k] = v
+    return out
+
+
 def convert_torch_files(alex_path: str, lin_path: str, out_path: str) -> None:
+    """Convert torch LPIPS weights to our safetensors layout.  Each input may
+    be a state_dict, a pickled module, or a full ``lpips.LPIPS`` checkpoint
+    (pass the same file for both paths in that case)."""
     import torch
 
-    alex_sd = torch.load(alex_path, map_location="cpu", weights_only=False)
-    lin_sd = torch.load(lin_path, map_location="cpu", weights_only=False)
-    for sd in (alex_sd, lin_sd):
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
+    alex_sd = _unwrap_lpips_sd(
+        torch.load(alex_path, map_location="cpu", weights_only=False))
+    lin_sd = _unwrap_lpips_sd(
+        torch.load(lin_path, map_location="cpu", weights_only=False))
     save_lpips_weights(convert_lpips_state_dicts(alex_sd, lin_sd), out_path)
 
 

@@ -129,24 +129,39 @@ class GroupNorm32(nn.Module):
         for i in red:
             n_local *= x.shape[i]
         x32 = x.astype(jnp.float32)
-        # Both moments from ONE pass over x (sibling reduces fuse): a second
-        # (x - mean)² pass would make XLA materialize the fp32 difference
-        # tensor to share it with the normalize — at 768² those fp32
-        # buffers (+ their relayout copies) were ~15% of the compiled UNet
-        # step's HBM traffic.  E[x²] − mean² loses nothing here: fp32
-        # accumulation over bf16 activations with O(1) group means.
+        bshape = (x.shape[0],) + (1,) * len(red) + (C,)
         s1 = x32.sum(axis=red)  # [B, C]
-        s2 = (x32 * x32).sum(axis=red)  # [B, C]
         cnt = jnp.float32(n_local * cs)
         if self.axis_name is not None:
             # spatial rows device-sharded: stats span the full image
             s1 = jax.lax.psum(s1, self.axis_name)
-            s2 = jax.lax.psum(s2, self.axis_name)
             cnt = jax.lax.psum(cnt, self.axis_name)
-        bshape = (x.shape[0],) + (1,) * len(red) + (C,)
         mean_g = s1.reshape(s1.shape[0], g, cs).sum(-1) / cnt  # [B, G]
-        ex2_g = s2.reshape(s2.shape[0], g, cs).sum(-1) / cnt
-        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        if self.axis_name is None:
+            # Both moments from ONE pass over x (sibling reduces fuse): a
+            # second (x - mean)² pass would make XLA materialize the fp32
+            # difference tensor to share it with the normalize — at 768²
+            # those fp32 buffers (+ their relayout copies) were ~15% of the
+            # compiled UNet step's HBM traffic.  Precision bound of
+            # E[x²] − mean² in fp32: relative variance error ≈
+            # ε_f32·√N·(mean/std)² (the reduction's own rounding dominates
+            # the subtraction) — measured ~4e-3 at |mean|/std = 10² (oracle
+            # test in test_precision.py), i.e. < 1e-6 for the |mean|/std ≲ 1
+            # activations these conv nets produce after a preceding norm.
+            # The sharded/training path below uses the exact two-pass form
+            # instead, where activation scales are less controlled
+            # (ADVICE r4).
+            s2 = (x32 * x32).sum(axis=red)  # [B, C]
+            ex2_g = s2.reshape(s2.shape[0], g, cs).sum(-1) / cnt
+            var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        else:
+            # exact two-pass E[(x − mean)²] (reference GroupNorm semantics,
+            # nn.py:31-37): one extra pass over x + one extra psum, immune
+            # to large-|mean| cancellation during training
+            mean_c2 = jnp.repeat(mean_g, cs, axis=-1)  # [B, C]
+            d = x32 - mean_c2.reshape(bshape)
+            s2c = jax.lax.psum((d * d).sum(axis=red), self.axis_name)
+            var_g = s2c.reshape(s2c.shape[0], g, cs).sum(-1) / cnt
         inv_g = jax.lax.rsqrt(var_g + self.eps)
         # Fold (x - mean) * inv * scale + bias into x * a + b so the
         # normalize is a single fused multiply-add with per-channel

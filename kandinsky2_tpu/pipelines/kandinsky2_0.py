@@ -408,7 +408,17 @@ class Kandinsky2:
             img_mask if img_mask is not None else zeros[..., :1],
         ]
         if with_nseq:
-            n_anc = num_steps if init_step is None else init_step
+            if sampler == "p_sampler":
+                # p_sampler's init_step is in respaced units: the scan makes
+                # exactly init_step (or num_steps) draws.
+                n_anc = num_steps if init_step is None else init_step
+            else:
+                # ddim with eta > 0 draws once per entry of the (possibly
+                # img2img-truncated) ladder — init_step here is in 1000-step
+                # DDPM units, NOT a draw count (~num_steps·strength draws).
+                from ..diffusion.schedules import ddim_ladder
+
+                n_anc = len(ddim_ladder(num_steps, init_step=init_step))
             args.append(check_noise(
                 noise_seq, (n_anc,) + tuple(x_T.shape), "noise_seq"))
         images = fn(*args)

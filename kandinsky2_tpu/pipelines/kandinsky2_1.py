@@ -332,8 +332,10 @@ class Kandinsky2_1:
             jnp.asarray(prior_cf_scale, jnp.float32), self._next_rng(),
         ]
         if noise is not None or noise_seq is not None:
-            args += [noise, None if noise_seq is None
-                     else jnp.asarray(noise_seq, jnp.float32)]
+            args += [noise, check_noise(
+                noise_seq,
+                (sched.num_timesteps, batch_size, hp["clip_dim"]),
+                "noise_seq")]
         emb = fn(*args)
         return emb
 
@@ -707,7 +709,20 @@ class Kandinsky2_1:
                 None if not with_nseq else check_noise(
                     noise_seq, (num_steps,) + tuple(x_T.shape), "noise_seq"))
             if prior_noise_seq is not None:
-                args.append(jnp.asarray(prior_noise_seq, jnp.float32))
+                ps = str(prior_steps)
+                if ps.startswith(("ddim", "dpmpp")):
+                    raise ValueError(
+                        "prior_noise_seq only applies to the ancestral "
+                        "(p-sampler) prior ladder; ddim/dpmpp prior "
+                        "trajectories are deterministic given prior_noise="
+                    )
+                prior_sched = make_schedule(
+                    **schedule_kwargs(self._prior_diff_cfg, ps)["make_schedule"]
+                )
+                args.append(check_noise(
+                    prior_noise_seq,
+                    (prior_sched.num_timesteps, batch_size, hp["clip_dim"]),
+                    "prior_noise_seq"))
         images = fn(*args)
         return process_images(np.asarray(images)[:, :h, :w, :])
 

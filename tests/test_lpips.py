@@ -172,3 +172,92 @@ def test_validate_reports_native_lpips(params, tmp_path):
     assert m["lpips_alex"] == 0.0
     assert m["lpips_gate_0.02"] is True
     assert m["lpips_backend"] == "native-jax"
+
+
+def _torch_layout_dicts(params):
+    """torch-layout (OIHW / [1,ch,1,1]) numpy dicts from the random tree."""
+    alex_sd, lin_sd = {}, {}
+    for key, *_ in L._CONVS:
+        alex_sd[f"{key}.weight"] = np.ascontiguousarray(
+            np.asarray(params[key]["kernel"]).transpose(3, 2, 0, 1))
+        alex_sd[f"{key}.bias"] = np.asarray(params[key]["bias"])
+    for i, ch in enumerate(L.CHANNELS):
+        lin_sd[f"lin{i}.model.1.weight"] = np.asarray(
+            params[f"lin{i}"]["weight"]).reshape(1, ch, 1, 1)
+    return alex_sd, lin_sd
+
+
+def test_convert_torch_files_unwraps_pickled_modules(params, images, tmp_path):
+    """convert_torch_files must unwrap pickled MODULE objects, not only
+    state_dicts — lpips/torchvision checkpoints are often saved as full
+    modules (the r4 `sd = sd.state_dict()` loop-rebind bug made this crash)."""
+    torch = pytest.importorskip("torch")
+
+    alex_sd, lin_sd = _torch_layout_dicts(params)
+    feats = torch.nn.Sequential()
+    in_ch, last = 3, 0
+    for key, out_ch, k, stride, pad, _ in L._CONVS:
+        idx = int(key.split(".")[1])
+        while last < idx:
+            feats.add_module(str(last), torch.nn.Identity())
+            last += 1
+        conv = torch.nn.Conv2d(in_ch, out_ch, k, stride=stride, padding=pad)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(alex_sd[f"{key}.weight"]))
+            conv.bias.copy_(torch.from_numpy(alex_sd[f"{key}.bias"]))
+        feats.add_module(str(idx), conv)
+        last = idx + 1
+        in_ch = out_ch
+    alex_mod = torch.nn.Module()
+    alex_mod.features = feats
+    lin_mod = torch.nn.Module()
+    for i, ch in enumerate(L.CHANNELS):
+        head = torch.nn.Conv2d(ch, 1, 1, bias=False)
+        with torch.no_grad():
+            head.weight.copy_(
+                torch.from_numpy(lin_sd[f"lin{i}.model.1.weight"]))
+        sub = torch.nn.Module()
+        sub.model = torch.nn.Sequential(torch.nn.Identity(), head)
+        setattr(lin_mod, f"lin{i}", sub)
+
+    ap = str(tmp_path / "alex_module.pth")
+    lp = str(tmp_path / "lin_module.pth")
+    op = str(tmp_path / "converted.safetensors")
+    torch.save(alex_mod, ap)
+    torch.save(lin_mod, lp)
+    L.convert_torch_files(ap, lp, op)
+    loaded = L.load_lpips_weights(op)
+    a, b = images
+    got = np.asarray(L.lpips_distance(loaded, jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(L.lpips_distance(params, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_convert_full_lpips_checkpoint_single_file(params, images, tmp_path):
+    """A full lpips.LPIPS state_dict keeps the backbone under
+    net.sliceK.IDX.* (torchvision feature indices preserved inside each
+    slice); one such file passed as BOTH inputs must convert."""
+    torch = pytest.importorskip("torch")
+
+    alex_sd, lin_sd = _torch_layout_dicts(params)
+    slice_of = {0: "slice1", 3: "slice2", 6: "slice3", 8: "slice4",
+                10: "slice5"}
+    full = {"scaling_layer.shift": torch.zeros(1, 3, 1, 1),
+            "scaling_layer.scale": torch.ones(1, 3, 1, 1)}
+    for key, *_ in L._CONVS:
+        idx = int(key.split(".")[1])
+        full[f"net.{slice_of[idx]}.{idx}.weight"] = torch.from_numpy(
+            alex_sd[f"{key}.weight"])
+        full[f"net.{slice_of[idx]}.{idx}.bias"] = torch.from_numpy(
+            alex_sd[f"{key}.bias"])
+    for k, v in lin_sd.items():
+        full[k] = torch.from_numpy(v)
+    p = str(tmp_path / "lpips_full.pth")
+    op = str(tmp_path / "converted.safetensors")
+    torch.save(full, p)
+    L.convert_torch_files(p, p, op)
+    loaded = L.load_lpips_weights(op)
+    a, b = images
+    got = np.asarray(L.lpips_distance(loaded, jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(L.lpips_distance(params, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)

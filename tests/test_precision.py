@@ -1,5 +1,6 @@
 """Mixed-precision helpers (the fp16_util inventory row)."""
 
+import functools
 import numpy as np
 
 import jax
@@ -89,3 +90,63 @@ def test_group_norm_stats_mode_close_to_full():
     # bf16 has ~2-3 significant decimal digits; outputs are O(1)
     np.testing.assert_allclose(stats, full, atol=0.1)
     assert np.abs(stats - full).mean() < 0.02
+
+
+def _grouped_oracle64(x, scale, bias, g, eps):
+    """fp64 grouped-reshape oracle (precision-bound tests)."""
+    B, C = x.shape[0], x.shape[-1]
+    y = x.astype(np.float64).reshape(B, -1, g, C // g)
+    mean = y.mean(axis=(1, 3), keepdims=True)
+    var = y.var(axis=(1, 3), keepdims=True)
+    y = (y - mean) / np.sqrt(var + eps)
+    return (y.reshape(x.shape) * scale + bias).astype(np.float32)
+
+
+def test_group_norm_one_pass_large_mean_bound():
+    """The single-stats-pass E[x²]−mean² form cancels as ε_f32·√N·(mean/std)²;
+    the documented bound (layers.py) expects ~4e-3 relative variance error at
+    |mean|/std = 100 — verify against an fp64 oracle (outputs ~unit-normal,
+    so atol bounds the relative error)."""
+    from kandinsky2_tpu.models.layers import GroupNorm32
+
+    rng = np.random.RandomState(7)
+    x = (rng.randn(2, 8, 8, 64) + 100.0).astype(np.float32)
+    scale = np.ones(64, np.float32)
+    bias = np.zeros(64, np.float32)
+    m = GroupNorm32(num_groups=32, eps=1e-5)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    want = _grouped_oracle64(x, scale, bias, 32, 1e-5)
+    np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+def test_group_norm_sharded_two_pass_immune_to_large_mean():
+    """The sharded (axis_name) path uses the exact two-pass E[(x−mean)²]
+    variance: it must stay accurate even at |mean|/std = 3e3, where the
+    one-pass form would lose ~half its significant digits (ADVICE r4)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from kandinsky2_tpu.models.layers import GroupNorm32
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("sp",))
+    rng = np.random.RandomState(8)
+    x = (rng.randn(2, 8, 8, 64) + 3000.0).astype(np.float32)
+    scale = rng.rand(64).astype(np.float32) + 0.5
+    bias = rng.randn(64).astype(np.float32)
+    m = GroupNorm32(num_groups=32, eps=1e-5, axis_name="sp")
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(None, "sp", None, None), out_specs=P(None, "sp", None, None),
+        check_vma=False)
+    def sharded_norm(xs):
+        return m.apply(params, xs)
+
+    got = np.asarray(sharded_norm(jnp.asarray(x)))
+    want = _grouped_oracle64(x, scale, bias, 32, 1e-5)
+    # residual ~5e-4 is fp32 INPUT quantization (ulp(3000) ≈ 2e-4), not
+    # cancellation — the one-pass form here would be off by O(1)
+    np.testing.assert_allclose(got, want, atol=2e-3)
