@@ -10,7 +10,12 @@ arithmetic against hand-computed values.
 import numpy as np
 import pytest
 
-from kandinsky2_tpu.profiling import _chip_peaks, chip_peak_flops, stage_report
+from kandinsky2_tpu.profiling import (
+    _chip_peaks,
+    chip_peak_flops,
+    hlo_traffic,
+    stage_report,
+)
 
 
 def test_chip_peaks_env_override(monkeypatch):
@@ -76,6 +81,84 @@ def test_stage_report_no_peaks_degrades():
     assert "mfu_pct" not in rep and "roofline_bound" not in rep
     assert rep["flops_per_byte"] is None
     assert rep["achieved_tflops"] == pytest.approx(0.1)
+
+
+def test_hlo_traffic_matmul_bounds():
+    """matmul+gelu+residual: params/outputs are counted exactly, the floor
+    never drops below the information-theoretic minimum (read each input
+    once, write the output once), and XLA's per-use aggregate — the r4
+    bug — sits at or above our per-buffer model."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(x, w):
+        return jax.nn.gelu(jnp.dot(x, w)) + x
+
+    x = jnp.zeros((256, 512), jnp.float32)
+    w = jnp.zeros((512, 512), jnp.float32)
+    compiled = jax.jit(f).lower(x, w).compile()
+    t = hlo_traffic(compiled.as_text())
+    params = (256 * 512 + 512 * 512) * 4
+    out = 256 * 512 * 4
+    assert t["param_bytes"] == params
+    assert t["output_bytes"] == out
+    # the minimum possible traffic; exact equality depends on fusion
+    # decisions (the backend may or may not materialize the dot), so pin
+    # the bound, not the fusion
+    assert params + out <= t["hbm_floor_bytes"] <= t["hbm_bytes"]
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    assert float(ca["bytes accessed"]) >= t["hbm_bytes"]
+
+
+def test_hlo_traffic_floor_le_model_and_positive():
+    """Bound invariants on a graph with operand re-use across instructions:
+    floor <= model, both >= param+output (every materialized buffer is
+    written), both finite."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(x, w1, w2):
+        a = jnp.tanh(jnp.dot(x, w1))
+        b = jnp.tanh(jnp.dot(x, w2))  # x consumed by two instructions
+        return jnp.dot(a, b.T)
+
+    x = jnp.zeros((128, 256), jnp.float32)
+    w1 = jnp.zeros((256, 128), jnp.float32)
+    w2 = jnp.zeros((256, 128), jnp.float32)
+    compiled = jax.jit(f).lower(x, w1, w2).compile()
+    t = hlo_traffic(compiled.as_text())
+    assert 0 < t["hbm_floor_bytes"] <= t["hbm_bytes"]
+    assert t["hbm_floor_bytes"] >= t["param_bytes"] + t["output_bytes"]
+
+
+def test_stage_report_floor_above_wall_raises():
+    """pct_of_roofline <= 100 is enforced, not just reported: a stage whose
+    'floor' beats its measured wall (the r4 prior_step pathology) must
+    raise instead of emitting an impossible number."""
+    stages = {"s": {
+        "seconds": 0.005, "flops": 1e9, "bytes": 10e9,
+        "hbm_bytes": 10e9, "hbm_floor_bytes": 10e9,
+    }}
+    with pytest.raises(AssertionError, match="not a floor"):
+        stage_report(stages, peak_flops=100e12, peak_bw=1000e9)
+
+
+def test_stage_report_uses_floor_bytes_for_roofline():
+    """The roofline floor is built from hbm_floor_bytes, while achieved
+    bandwidth uses the traffic model — the split that keeps the floor a
+    floor when the model overcounts."""
+    stages = {"s": {
+        "seconds": 0.02, "flops": 1e9, "bytes": 30e9,
+        "hbm_bytes": 16e9, "hbm_floor_bytes": 10e9,
+    }}
+    rep = stage_report(stages, peak_flops=100e12, peak_bw=1000e9)["s"]
+    assert rep["roofline_floor_seconds"] == pytest.approx(0.01)
+    assert rep["pct_of_roofline"] == pytest.approx(50.0)
+    assert rep["achieved_gbps"] == pytest.approx(800.0)  # model bytes
+    assert rep["hbm_gb"] == pytest.approx(16.0)
+    assert rep["hbm_floor_gb"] == pytest.approx(10.0)
+    assert rep["xla_bytes_gb"] == pytest.approx(30.0)
 
 
 def test_profile_21_on_cpu_smoke():
