@@ -113,8 +113,12 @@ def _resize_bilinear(x: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def dpt_estimator(repo_dir: str, dtype=None) -> Callable:
     """Build a reference-grade depth estimator from a local HF DPT snapshot
-    (config.json + model.safetensors / pytorch_model.bin, e.g.
-    Intel/dpt-large fetched via ``weights.hub.fetch_dpt``).
+    (config.json + model.safetensors / pytorch_model.bin) — hybrid
+    (Intel/dpt-hybrid-midas, ``fetch_dpt``'s default: the exact MiDaS model
+    the reference notebook's MidasDetector runs, so ControlNet hints match
+    the decoder's training-time conditioner distribution) or pure-ViT
+    (Intel/dpt-large: sharper depth, but a hint-distribution shift vs what
+    kandinsky-2-2-controlnet-depth was trained on).
 
     Returns a callable ``image -> [H, W] float32`` relative inverse depth
     (MiDaS convention) that preprocesses host-side (bicubic resize to the

@@ -1,6 +1,9 @@
 """DPT monocular depth estimator (Ranftl et al., "Vision Transformers for
-Dense Prediction") — TPU-native flax port of the HF-format checkpoints
-(Intel/dpt-large et al.).
+Dense Prediction") — TPU-native flax port of the HF-format checkpoints:
+both the pure-ViT family (Intel/dpt-large) and the MiDaS **hybrid** family
+(Intel/dpt-hybrid-midas — the exact depth model the reference notebook's
+``MidasDetector`` runs, i.e. the conditioner the 2.2 ControlNet-depth
+decoder was trained against).
 
 This is the real depth producer for the 2.2 ControlNet-depth task: the
 reference notebook builds its ``hint`` by running a trained MiDaS/DPT model
@@ -9,8 +12,18 @@ host-side (/root/reference/notebooks/kandinsky2_2_controlnet.ipynb:
 TPU program; ``kandinsky2_tpu.depth.make_hint`` consumes its output
 unchanged (the heuristic stays as the weightless fallback).
 
-Architecture (matches transformers' ``DPTForDepthEstimation`` with
-``is_hybrid=False``, readout_type="project"):
+Hybrid architecture (matches transformers' ``DPTForDepthEstimation`` with
+``is_hybrid=True``): patch embeddings come from a BiT (ResNetv2-style,
+weight-standardized convs + GroupNorm/ReLU, TF-SAME padding) backbone's
+/16 feature map through a 1x1 projection; the first two neck taps are the
+BiT stage-1/-2 feature maps passed straight to the 3x3 neck convs
+(``neck_ignore_stages`` = (0, 1) — no readout/reassemble), the last two
+taps are ViT layers ``backbone_out_indices[2:]`` through the standard
+readout+reassemble path.  Fusion ladder and head are shared with the
+pure-ViT graph below.
+
+Pure-ViT architecture (matches transformers' ``DPTForDepthEstimation``
+with ``is_hybrid=False``, readout_type="project"):
 
 * plain ViT backbone (pre-LN, exact GELU), patch conv /16, cls token,
   bilinearly resizable position embeddings;
@@ -140,8 +153,147 @@ class _PreActResidual(nn.Module):
         return x + h
 
 
+# ---------------------------------------------------------------------------
+# BiT backbone (the hybrid family's stem): ResNetv2-style bottleneck stages
+# with weight-standardized convolutions, GroupNorm+ReLU, and TF-SAME padding.
+# Counterpart of transformers' modeling_bit.py as configured by
+# Intel/dpt-hybrid-midas (layer_type="bottleneck", global_padding="SAME",
+# depths (3, 4, 9), 3 stages).  Module names mirror the torch state_dict so
+# weights/convert.py loads the published checkpoint mechanically.
+# ---------------------------------------------------------------------------
+
+
+class _WSConv(nn.Module):
+    """Weight-standardized conv (BiT's WeightStandardizedConv2d): the kernel
+    is standardized per output channel over (kh, kw, in) at apply time, in
+    fp32, with the checkpoint's eps=1e-8; bias-free; TF-SAME padding."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    eps: float = 1e-8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, in_ch, self.features), jnp.float32,
+        )
+        mean = w.mean(axis=(0, 1, 2), keepdims=True)
+        var = w.var(axis=(0, 1, 2), keepdims=True)
+        w = (w - mean) * jax.lax.rsqrt(var + self.eps)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def _bit_gn(num_groups: int, name: str):
+    """GroupNorm with fp32 stats (BitGroupNormActivation's norm half; the
+    ReLU is applied by the caller).  GroupNorm32 owns scale/bias directly,
+    so the flax path maps 1:1 onto the torch ``<name>.weight/.bias``."""
+    from .layers import GroupNorm32
+
+    return GroupNorm32(num_groups=num_groups, eps=1e-5, name=name)
+
+
+def _make_div(value: float, divisor: int = 8) -> int:
+    """timm's channel rounding (modeling_bit.py make_div)."""
+    new_value = max(divisor, int(value + divisor / 2) // divisor * divisor)
+    if new_value < 0.9 * value:
+        new_value += divisor
+    return new_value
+
+
+class _BitBottleneck(nn.Module):
+    """Non-pre-activation bottleneck (BitBottleneckLayer, v1.5): three WS
+    convs each followed by GroupNorm (+ReLU on the first two), a projection
+    shortcut on the stage's first layer, ReLU after the residual add."""
+
+    out_channels: int
+    stride: int = 1
+    num_groups: int = 32
+    is_first: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = _make_div(self.out_channels * 0.25)
+        shortcut = x
+        if self.is_first:
+            shortcut = _WSConv(self.out_channels, 1, self.stride,
+                               dtype=self.dtype, name="downsample.conv")(x)
+            shortcut = _bit_gn(self.num_groups, "downsample.norm")(shortcut)
+        h = _WSConv(mid, 1, dtype=self.dtype, name="conv1")(x)
+        h = jax.nn.relu(_bit_gn(self.num_groups, "norm1")(h))
+        h = _WSConv(mid, 3, self.stride, dtype=self.dtype, name="conv2")(h)
+        h = jax.nn.relu(_bit_gn(self.num_groups, "norm2")(h))
+        h = _WSConv(self.out_channels, 1, dtype=self.dtype, name="conv3")(h)
+        h = _bit_gn(self.num_groups, "norm3")(h)
+        return jax.nn.relu(h + shortcut)
+
+
+class _BitEmbeddings(nn.Module):
+    """BiT stem: WS 7x7/2 SAME conv -> GroupNorm+ReLU -> 3x3/2 max pool with
+    TF-SAME zero padding (BitEmbeddings for layer_type="bottleneck")."""
+
+    embedding_size: int
+    num_groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = _WSConv(self.embedding_size, 7, 2, dtype=self.dtype,
+                    name="convolution")(x)
+        h = jax.nn.relu(_bit_gn(self.num_groups, "norm")(h))
+        # TF-SAME 3x3/2 max pool; torch pads with ZEROS (DynamicPad2d
+        # value=0), harmless after the ReLU above but matched exactly here
+        H, W = h.shape[1], h.shape[2]
+        ph = max((-(-H // 2) - 1) * 2 + 3 - H, 0)
+        pw = max((-(-W // 2) - 1) * 2 + 3 - W, 0)
+        h = jnp.pad(h, ((0, 0), (ph // 2, ph - ph // 2),
+                        (pw // 2, pw - pw // 2), (0, 0)))
+        return nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
+
+
+class _BitBackbone(nn.Module):
+    """BiT trunk: stem + bottleneck stages; returns every stage's output
+    feature map, shallowest first (BitBackbone out_features stage1..N)."""
+
+    embedding_size: int = 64
+    hidden_sizes: Sequence[int] = (256, 512, 1024)
+    depths: Sequence[int] = (3, 4, 9)
+    num_groups: int = 32
+    width_factor: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = _BitEmbeddings(self.embedding_size, self.num_groups,
+                           dtype=self.dtype, name="embedder")(x)
+        feats = []
+        for s, (depth, hidden) in enumerate(
+                zip(self.depths, self.hidden_sizes)):
+            out_ch = _make_div(hidden * self.width_factor)
+            stride = 1 if s == 0 else 2
+            for j in range(depth):
+                h = _BitBottleneck(
+                    out_ch, stride=stride if j == 0 else 1,
+                    num_groups=self.num_groups, is_first=(j == 0),
+                    dtype=self.dtype,
+                    name=f"encoder.stages.{s}.layers.{j}",
+                )(h)
+            feats.append(h)
+        return feats
+
+
 class DPTDepth(nn.Module):
-    """HF-layout DPT depth estimator (is_hybrid=False).
+    """HF-layout DPT depth estimator, pure-ViT (is_hybrid=False) or MiDaS
+    hybrid (is_hybrid=True, BiT stem — the reference notebook's depth
+    model, Intel/dpt-hybrid-midas).
 
     Input: NHWC pixel values, already processor-normalized
     ((x/255 - 0.5)/0.5), H and W multiples of ``patch_size``.
@@ -159,6 +311,13 @@ class DPTDepth(nn.Module):
     reassemble_factors: Sequence[float] = (4, 2, 1, 0.5)
     fusion_hidden_size: int = 256
     eps: float = 1e-12
+    # hybrid (BiT) stem configuration; used only when is_hybrid
+    is_hybrid: bool = False
+    backbone_embedding_size: int = 64
+    backbone_hidden_sizes: Sequence[int] = (256, 512, 1024)
+    backbone_depths: Sequence[int] = (3, 4, 9)
+    backbone_num_groups: int = 32
+    backbone_width_factor: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,14 +325,35 @@ class DPTDepth(nn.Module):
         B, H, W, _ = pixel_values.shape
         gh, gw = H // self.patch_size, W // self.patch_size
 
-        # --- ViT backbone -------------------------------------------------
-        x = nn.Conv(
-            self.hidden, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), padding="VALID",
-            dtype=self.dtype, param_dtype=jnp.float32,
-            name="dpt.embeddings.patch_embeddings.projection",
-        )(pixel_values.astype(self.dtype))
-        x = x.reshape(B, gh * gw, self.hidden)
+        # --- backbone: BiT stem (hybrid) or direct patch conv --------------
+        bit_feats = None
+        if self.is_hybrid:
+            bit_feats = _BitBackbone(
+                embedding_size=self.backbone_embedding_size,
+                hidden_sizes=tuple(self.backbone_hidden_sizes),
+                depths=tuple(self.backbone_depths),
+                num_groups=self.backbone_num_groups,
+                width_factor=self.backbone_width_factor,
+                dtype=self.dtype,
+                name="dpt.embeddings.backbone.bit",
+            )(pixel_values.astype(self.dtype))
+            feat = bit_feats[-1]  # /16 feature map = the patch grid
+            if feat.shape[1:3] != (gh, gw):
+                raise ValueError(
+                    f"BiT /16 feature map {feat.shape[1:3]} != patch grid "
+                    f"({gh}, {gw}); input must be a multiple of 16"
+                )
+            x = dense(self.hidden, "dpt.embeddings.projection",
+                      self.dtype)(feat)
+            x = x.reshape(B, gh * gw, self.hidden)
+        else:
+            x = nn.Conv(
+                self.hidden, (self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size), padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name="dpt.embeddings.patch_embeddings.projection",
+            )(pixel_values.astype(self.dtype))
+            x = x.reshape(B, gh * gw, self.hidden)
         cls = self.param(
             "dpt.embeddings.cls_token", nn.initializers.zeros,
             (1, 1, self.hidden), jnp.float32,
@@ -196,8 +376,14 @@ class DPTDepth(nn.Module):
                             axis=1)
         x = x + pos.astype(self.dtype)
 
+        # hybrid: the first two neck taps are BiT feature maps; only the
+        # last two backbone_out_indices address ViT layers
+        # (DPTForDepthEstimation: ``backbone_out_indices[2:]``)
+        vit_indices = (tuple(self.backbone_out_indices[2:])
+                       if self.is_hybrid
+                       else tuple(self.backbone_out_indices))
         taps = {}
-        want = set(self.backbone_out_indices)
+        want = set(vit_indices)
         for i in range(self.layers):
             x = _ViTLayer(
                 self.hidden, self.heads, self.intermediate, eps=self.eps,
@@ -207,8 +393,22 @@ class DPTDepth(nn.Module):
                 taps[i] = x
 
         # --- reassemble + neck --------------------------------------------
+        # stage inputs: hybrid = (bit1, bit2, vit_a, vit_b) with stages 0/1
+        # skipping readout+reassemble (neck_ignore_stages); pure = four ViT
+        # taps through the full path
         feats = []
-        for i, idx in enumerate(self.backbone_out_indices):
+        n_stages = len(self.neck_hidden_sizes)
+        for i in range(n_stages):
+            if self.is_hybrid and i <= 1:
+                h = nn.Conv(
+                    self.fusion_hidden_size, (3, 3),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"neck.convs.{i}",
+                )(bit_feats[i])
+                feats.append(h)
+                continue
+            idx = vit_indices[i - 2] if self.is_hybrid else vit_indices[i]
             h = taps[idx]
             cls_tok, tokens = h[:, :1], h[:, 1:]
             readout = jnp.broadcast_to(cls_tok, tokens.shape)
@@ -284,15 +484,12 @@ class DPTDepth(nn.Module):
 
 
 def dpt_overrides(cfg: dict) -> dict:
-    """HF DPTConfig dict (config.json) -> DPTDepth kwargs."""
-    if cfg.get("is_hybrid"):
-        raise ValueError(
-            "hybrid DPT (BiT backbone) is not supported; use a pure-ViT "
-            "DPT checkpoint (e.g. Intel/dpt-large)"
-        )
+    """HF DPTConfig dict (config.json) -> DPTDepth kwargs — pure-ViT and
+    hybrid (Intel/dpt-hybrid-midas: is_hybrid + a BiT ``backbone_config``
+    with layer_type="bottleneck")."""
     if cfg.get("readout_type", "project") != "project":
         raise ValueError("only readout_type='project' is supported")
-    return dict(
+    out = dict(
         hidden=cfg["hidden_size"],
         layers=cfg["num_hidden_layers"],
         heads=cfg["num_attention_heads"],
@@ -305,3 +502,27 @@ def dpt_overrides(cfg: dict) -> dict:
         fusion_hidden_size=cfg["fusion_hidden_size"],
         eps=cfg.get("layer_norm_eps", 1e-12),
     )
+    if cfg.get("is_hybrid"):
+        bc = cfg.get("backbone_config") or {}
+        if bc.get("layer_type", "bottleneck") != "bottleneck":
+            raise ValueError(
+                "hybrid DPT needs a bottleneck BiT backbone "
+                f"(got layer_type={bc.get('layer_type')!r})"
+            )
+        gp = (bc.get("global_padding") or "").upper()
+        if gp != "SAME":
+            raise ValueError(
+                f"hybrid BiT requires global_padding='SAME', got {gp!r}"
+            )
+        depths = tuple(bc.get("depths", (3, 4, 9)))
+        out.update(
+            is_hybrid=True,
+            backbone_embedding_size=bc.get("embedding_size", 64),
+            backbone_hidden_sizes=tuple(
+                bc.get("hidden_sizes", (256, 512, 1024, 2048))[:len(depths)]
+            ),
+            backbone_depths=depths,
+            backbone_num_groups=bc.get("num_groups", 32),
+            backbone_width_factor=bc.get("width_factor", 1),
+        )
+    return out

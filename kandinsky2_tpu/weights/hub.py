@@ -195,15 +195,21 @@ def _fetch_snapshot(repo_id: str, local_dir: str, manifest: dict,
     return local_dir
 
 
-# depth producer for the ControlNet-depth task (the reference notebook runs
-# MiDaS/DPT host-side; we fetch the pure-ViT DPT the flax port supports)
-DPT_REPO = "Intel/dpt-large"
+# Depth producer for the ControlNet-depth task.  The default is the MiDaS
+# hybrid — the EXACT model the reference notebook's MidasDetector runs
+# (notebooks/kandinsky2_2_controlnet.ipynb: dpt_hybrid-midas), i.e. the
+# conditioner whose hint statistics the kandinsky-2-2-controlnet-depth
+# decoder was trained against.  The pure-ViT Intel/dpt-large also loads
+# (higher-quality depth, but a distribution shift vs the training hints).
+DPT_REPO = "Intel/dpt-hybrid-midas"
+DPT_LARGE_REPO = "Intel/dpt-large"
 
 
 def fetch_dpt(cache_dir: str = "/tmp/kandinsky2", repo_id: str = DPT_REPO,
               use_auth_token=None) -> str:
-    """Download a HF DPT depth snapshot; returns the local dir for
-    ``depth.dpt_estimator`` (pre-populated caches short-circuit offline)."""
+    """Download a HF DPT depth snapshot (hybrid or pure-ViT); returns the
+    local dir for ``depth.dpt_estimator`` (pre-populated caches
+    short-circuit offline)."""
     local = os.path.join(cache_dir, "dpt", repo_id.replace("/", "__"))
     _hf_download_any(repo_id, "config.json", local, use_auth_token)
     _hf_download_any(
