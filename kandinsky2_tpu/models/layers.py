@@ -271,6 +271,51 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, H * 2, W * 2, C)
 
 
+class FoldedUpsampleConv(nn.Module):
+    """``conv3x3(pad=1)(nearest_2x(x))`` as ONE lhs-dilated convolution.
+
+    Nearest-2x is a stride-2 transposed conv with a 2x2 ones kernel, so the
+    composition is a stride-2 transposed conv whose 4x4 kernel is the 3x3
+    kernel correlated with ones(2, 2) — exact same arithmetic, but the 2x
+    tensor never materializes.  On the v5e the materialized path pays a
+    full write+read of the upsampled activation PLUS a relayout copy chain
+    that XLA emits for the broadcast-reshape (the largest non-conv cost in
+    the 768² MoVQ decode trace, r5): measured 16.2 -> 10.6 ms at 384->768
+    c256 and 12.5 -> 8.5 ms at 192->384 c512 (/tmp cleanroom micro, scalar
+    -sync timing).  The phase decomposition of the dilated conv also does
+    310 vs 697 GFLOP of MXU work at 768².
+
+    Params are named/shaped exactly like the ``nn.Conv`` it replaces
+    (kernel [3, 3, I, O], bias [O]) so torch checkpoint conversion and every
+    existing pytree are unchanged.  Counterpart of reference Upsample-with-
+    conv (kandinsky2/model/unet.py:48-77, vqgan_blocks.py:93-106)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, in_ch, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        # w4[q] = sum_{a in {0,1}} w[q-a]: each upsampled pixel (2i+a)
+        # duplicates x[i], so the 3 taps collapse onto 4 dilated taps
+        pad = lambda h, w_: jnp.pad(w, ((h, 1 - h), (w_, 1 - w_),
+                                        (0, 0), (0, 0)))
+        w4 = pad(0, 0) + pad(1, 0) + pad(0, 1) + pad(1, 1)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w4.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(y.dtype)
+
+
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Nearest resize to arbitrary (H, W), matching torch F.interpolate
     mode='nearest' index math: src = floor(dst * in/out)."""

@@ -153,7 +153,9 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest 2x + conv (vqgan_blocks.py:93-106)."""
+    """Nearest 2x + conv (vqgan_blocks.py:93-106), folded into one
+    lhs-dilated conv on the unsharded path (layers.FoldedUpsampleConv —
+    same arithmetic, no materialized 2x tensor)."""
 
     channels: int
     dtype: Dtype = jnp.float32
@@ -161,6 +163,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.sp_axis is None:
+            from .layers import FoldedUpsampleConv
+
+            return FoldedUpsampleConv(
+                self.channels, dtype=self.dtype, name="conv"
+            )(x)
         return _conv3(self.channels, "conv", self.dtype, self.sp_axis)(
             upsample_nearest_2x(x)
         )

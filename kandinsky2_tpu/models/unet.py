@@ -70,13 +70,26 @@ class ResBlock(nn.Module):
         h = GroupNorm32(swish=1.0, axis_name=self.sp_axis, name="in_layers.0")(x)
         if self.up:
             # nearest 2x doubles rows inside each shard: alignment preserved
-            h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
-        elif self.down:
-            # 2x2 window never crosses an even row-shard boundary
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = _c3(self.out_channels, "in_layers.2", self.dtype, self.sp_axis)(h)
+            if self.sp_axis is None:
+                # upsample+conv folded into one lhs-dilated conv (same
+                # params/arithmetic, no materialized 2x tensor)
+                from .layers import FoldedUpsampleConv
+
+                h = FoldedUpsampleConv(
+                    self.out_channels, dtype=self.dtype, name="in_layers.2"
+                )(h)
+            else:
+                h = upsample_nearest_2x(h)
+                h = _c3(self.out_channels, "in_layers.2", self.dtype,
+                        self.sp_axis)(h)
+        else:
+            if self.down:
+                # 2x2 window never crosses an even row-shard boundary
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = _c3(self.out_channels, "in_layers.2", self.dtype,
+                    self.sp_axis)(h)
 
         emb_dim = (
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
@@ -180,7 +193,9 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest 2x + conv upsample (unet.py:48-77)."""
+    """Nearest 2x + conv upsample (unet.py:48-77), folded into one
+    lhs-dilated conv on the unsharded path (layers.FoldedUpsampleConv —
+    same arithmetic, no materialized 2x tensor)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
@@ -188,6 +203,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.sp_axis is None:
+            from .layers import FoldedUpsampleConv
+
+            return FoldedUpsampleConv(
+                self.out_channels, dtype=self.dtype, name="conv"
+            )(x)
         return _c3(self.out_channels, "conv", self.dtype, self.sp_axis)(
             upsample_nearest_2x(x)
         )

@@ -75,13 +75,25 @@ class ResnetBlock22(nn.Module):
             name="norm1",
         )(x)
         if self.up:
-            h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
-        elif self.down:
-            # 2x2 window never crosses an even row-shard boundary
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = _c3(self.out_channels, "conv1", self.dtype, self.sp_axis)(h)
+            if self.sp_axis is None:
+                # upsample+conv folded into one lhs-dilated conv (same
+                # params/arithmetic, no materialized 2x tensor)
+                from .layers import FoldedUpsampleConv
+
+                h = FoldedUpsampleConv(
+                    self.out_channels, dtype=self.dtype, name="conv1"
+                )(h)
+            else:
+                h = upsample_nearest_2x(h)
+                h = _c3(self.out_channels, "conv1", self.dtype,
+                        self.sp_axis)(h)
+        else:
+            if self.down:
+                # 2x2 window never crosses an even row-shard boundary
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = _c3(self.out_channels, "conv1", self.dtype, self.sp_axis)(h)
         emb = dense(2 * self.out_channels, "time_emb_proj", self.dtype)(
             jax.nn.silu(temb)
         ).astype(h.dtype)[:, None, None, :]

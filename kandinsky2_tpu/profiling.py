@@ -365,11 +365,14 @@ def _sync(out) -> None:
     """Force completion with a device→host fetch.  Through the tunneled
     (axon) TPU client ``block_until_ready`` can return before the device
     work drains, which inflates throughput to impossible numbers; a host
-    copy of one output leaf cannot."""
+    fetch cannot.  Fetch a device-side SCALAR reduce of one leaf, not the
+    leaf itself — pulling a full activation tensor through the tunnel
+    (~MB/ms) would bill host transfer to the measured stage."""
     import jax
+    import jax.numpy as jnp
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)
+    np.asarray(jnp.sum(leaf.astype(jnp.float32)))
 
 
 def _measure(jfn, args, iters: int) -> Dict[str, float]:

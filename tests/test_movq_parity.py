@@ -115,3 +115,36 @@ def test_autoencoder_kl():
         dec_t = ref.decode(torch.tensor(nchw(z))).numpy()
     dec_j = ours.apply(variables, jnp.asarray(z), method=ours.decode)
     np.testing.assert_allclose(nhwc(dec_t), np.asarray(dec_j), atol=5e-4)
+
+
+def test_folded_upsample_conv_equivalence():
+    """FoldedUpsampleConv (one lhs-dilated conv) computes exactly
+    conv3x3(pad=1)(nearest_2x(x)) — same params, same arithmetic; the
+    movq/unet Upsample modules route through it on the unsharded path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from kandinsky2_tpu.models.layers import (
+        FoldedUpsampleConv,
+        conv2d,
+        upsample_nearest_2x,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 9, 7, 16)).astype(np.float32))
+    folded = FoldedUpsampleConv(24)
+    params = folded.init(jax.random.PRNGKey(1), x)["params"]
+    # perturb so the kernel is non-degenerate in every tap
+    params = jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(rng.normal(0, 0.05, a.shape), a.dtype),
+        params,
+    )
+    got = folded.apply({"params": params}, x)
+
+    naive = conv2d(24, "c")
+    want = naive.apply({"params": params}, upsample_nearest_2x(x))
+    assert got.shape == want.shape == (2, 18, 14, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
