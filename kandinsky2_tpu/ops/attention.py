@@ -60,7 +60,10 @@ def qkv_attention(
     # Measured on v5e (bench_attention.py, BENCH_ATTENTION.json): flash wins
     # 1.6-1.8x fwd AND bwd at T>=4096 with B*H>=16; roughly ties at T=2304;
     # loses for short sequences and the MoVQ single fat 512-d head (B*H=1,
-    # bwd 0.70x) — those stay on the XLA path.
+    # bwd 0.70x) — those stay on the XLA path.  Re-validated IN-GRAPH in r5:
+    # routing the 768² UNet's T=2304 blocks to flash made the whole step
+    # 51.7 -> 62.5 ms (d=64 blocks underfill the MXU), while the bf16-logits
+    # XLA path above won 3.2 ms — the isolated tie was the right call.
     if impl == "flash" or (
         impl == "auto"
         and mask is None
