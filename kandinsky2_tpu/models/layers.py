@@ -183,7 +183,13 @@ class GroupNorm32(nn.Module):
         a = a2.reshape(bshape)
         b = b2.reshape(bshape)
         if _NORM_MODE == "full" or self.axis_name is not None:
-            y = (x32 * a + b).astype(orig_dtype)
+            # Recompute the fp32 upcast of x in the normalize pass instead
+            # of sharing it with the stats pass: CSE'd, XLA materializes
+            # the shared x32 tensor in HBM between the two fusions (write +
+            # read = 8 B/elem); barriered, each pass re-reads the bf16
+            # original (2 B/elem).  Same arithmetic — the upcast is exact.
+            x32n = jax.lax.optimization_barrier(x).astype(jnp.float32)
+            y = (x32n * a + b).astype(orig_dtype)
         else:
             # "stats": normalize arithmetic in the activation dtype (the
             # stats themselves are always fp32)

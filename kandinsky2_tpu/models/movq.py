@@ -121,8 +121,15 @@ class AttnBlock(nn.Module):
         q = dense(C, "q", self.dtype)(h).reshape(B, H * W, C)
         k = dense(C, "k", self.dtype)(h).reshape(B, H * W, C)
         v = dense(C, "v", self.dtype)(h).reshape(B, H * W, C)
-        logits = jnp.einsum("btc,bsc->bts", q, k, preferred_element_type=jnp.float32)
-        logits = logits * (C ** -0.5)
+        # Logits materialize in the ACTIVATION dtype: the reference runs
+        # softmax(bmm(q,k)) in the model's half precision with no fp32
+        # upcast at all (vqgan_blocks.py:226-229), so a bf16 HBM buffer is
+        # faithful — and at 96² latents the [9216, 9216] logits tensor is
+        # the decode's largest HBM term (340 MB fp32 → 170 MB bf16).  The
+        # MXU still accumulates the dot in fp32 and the softmax still
+        # computes in fp32 on top (beyond-reference precision).
+        scale = C ** -0.25
+        logits = jnp.einsum("btc,bsc->bts", q * scale, k * scale)
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bts,bsc->btc", w, v).reshape(B, H, W, C)
         out = dense(C, "proj_out", self.dtype)(out)
