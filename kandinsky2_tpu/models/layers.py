@@ -48,10 +48,10 @@ _NORM_MODE = "full"
 
 # Norm implementation: "xla" (default, and what "auto" resolves to) lowers
 # the single-stats-pass + coefficient-barrier formulation below — measured
-# fastest on the v5e (51.7 ms 768² UNet step vs 59.0 for the naive grouped
-# reshape).  "pallas" routes eligible shapes through the fused two-kernel
-# GroupNorm (ops/group_norm.py); it reaches the theoretical traffic floor
-# (22.9 GB/step vs 33.0) but loses on wall clock (78.6 ms) because ~120
+# fastest on the v5e (44.6 ms 768² UNet step in r5 vs 59.0 for the naive
+# grouped reshape).  "pallas" routes eligible shapes through the fused
+# two-kernel GroupNorm (ops/group_norm.py); it reaches the theoretical
+# two-pass traffic floor but loses on wall clock (78.6 ms) because ~120
 # Mosaic kernel launches per UNet step cost more than the saved bandwidth —
 # kept as an opt-in for shapes/batches where the tradeoff flips.
 _NORM_IMPL = "xla"
@@ -67,6 +67,18 @@ def set_norm_impl(impl: str) -> None:
     global _NORM_IMPL
     assert impl in ("pallas", "xla", "auto")
     _NORM_IMPL = impl
+
+
+# Experiment knob: whether "full"-mode normalize re-reads the bf16 input
+# through an optimization_barrier (True, default — measured −2 GB/step on the
+# 768² UNet) or shares the fp32 upcast with the stats pass.  Exposed for
+# perf experiments only; parity is identical either way.
+_NORM_X_BARRIER = True
+
+
+def set_norm_x_barrier(on: bool) -> None:
+    global _NORM_X_BARRIER
+    _NORM_X_BARRIER = bool(on)
 
 
 def _norm_use_pallas() -> bool:
@@ -188,7 +200,9 @@ class GroupNorm32(nn.Module):
             # the shared x32 tensor in HBM between the two fusions (write +
             # read = 8 B/elem); barriered, each pass re-reads the bf16
             # original (2 B/elem).  Same arithmetic — the upcast is exact.
-            x32n = jax.lax.optimization_barrier(x).astype(jnp.float32)
+            x32n = (
+                jax.lax.optimization_barrier(x) if _NORM_X_BARRIER else x
+            ).astype(jnp.float32)
             y = (x32n * a + b).astype(orig_dtype)
         else:
             # "stats": normalize arithmetic in the activation dtype (the

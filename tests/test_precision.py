@@ -92,6 +92,26 @@ def test_group_norm_stats_mode_close_to_full():
     assert np.abs(stats - full).mean() < 0.02
 
 
+def test_group_norm_x_barrier_knob_is_parity_neutral():
+    """set_norm_x_barrier only changes whether XLA may share the fp32 upcast
+    between the stats and normalize passes — same arithmetic, bitwise-equal
+    outputs."""
+    from kandinsky2_tpu.models.layers import GroupNorm32, set_norm_x_barrier
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32)).astype(
+        jnp.bfloat16)
+    m = GroupNorm32(num_groups=32, eps=1e-5)
+    params = m.init(jax.random.PRNGKey(0), x)
+    with_bar = np.asarray(m.apply(params, x), np.float32)
+    set_norm_x_barrier(False)
+    try:
+        without = np.asarray(m.apply(params, x), np.float32)
+    finally:
+        set_norm_x_barrier(True)
+    np.testing.assert_array_equal(with_bar, without)
+
+
 def _grouped_oracle64(x, scale, bias, g, eps):
     """fp64 grouped-reshape oracle (precision-bound tests)."""
     B, C = x.shape[0], x.shape[-1]
