@@ -338,8 +338,11 @@ class FoldedUpsampleConv(nn.Module):
 
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Nearest resize to arbitrary (H, W), matching torch F.interpolate
-    mode='nearest' index math: src = floor(dst * in/out)."""
+    mode='nearest' index math: src = floor(dst * in/out).  Identity-size
+    resizes return the input unchanged (no identity-gather copy)."""
     B, H, W, C = x.shape
+    if (H, W) == tuple(size):
+        return x
     h_idx = (jnp.arange(size[0]) * (H / size[0])).astype(jnp.int32)
     w_idx = (jnp.arange(size[1]) * (W / size[1])).astype(jnp.int32)
     return x[:, h_idx][:, :, w_idx]

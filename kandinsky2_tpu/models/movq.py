@@ -48,13 +48,21 @@ class SpatialNorm(nn.Module):
 
     @nn.compact
     def __call__(self, f: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
-        zq = resize_nearest(zq, f.shape[1:3])
         norm_f = GroupNorm32(
             num_groups=32, eps=1e-6, axis_name=self.sp_axis, name="norm_layer"
         )(f)
+        # The 1x1 convs commute BITWISE with the nearest resize (each output
+        # pixel duplicates one source pixel's exact linear map), so run them
+        # at zq's native resolution and resize the results: the per-norm
+        # [H, W, C] modulation maps are then gathers of tiny low-res tensors
+        # that fuse into the modulate pass instead of materialized dense
+        # outputs — at 768² decode that was a 151 MB write + re-read per
+        # conv per SpatialNorm (~4 GB of the decode's HBM traffic).
         conv_y = dense(f.shape[-1], "conv_y", self.dtype)
         conv_b = dense(f.shape[-1], "conv_b", self.dtype)
-        return norm_f * conv_y(zq) + conv_b(zq)
+        y = resize_nearest(conv_y(zq), f.shape[1:3])
+        b = resize_nearest(conv_b(zq), f.shape[1:3])
+        return norm_f * y + b
 
 
 def _norm(spatial: bool, name: str, dtype, x, zq=None, sp_axis=None):

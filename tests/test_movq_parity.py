@@ -148,3 +148,42 @@ def test_folded_upsample_conv_equivalence():
     assert got.shape == want.shape == (2, 18, 14, 24)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6, rtol=1e-6)
+
+
+def test_spatial_norm_resize_commute():
+    """SpatialNorm runs conv_y/conv_b at zq's native resolution and nearest-
+    resizes the RESULTS (a gather of a tiny tensor that fuses into the
+    modulate pass, instead of a full-resolution dense output materialized in
+    HBM).  A 1x1 conv commutes bitwise with nearest resize — every upsampled
+    pixel duplicates one source pixel's exact linear map — so this must equal
+    the reference formulation conv(resize(zq)) exactly, not within tolerance
+    (movq_modules.py:34-68)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kandinsky2_tpu.models.layers import GroupNorm32, dense, resize_nearest
+    from kandinsky2_tpu.models.movq import SpatialNorm
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.normal(0, 1, (2, 24, 16, 64)).astype(np.float32))
+    zq = jnp.asarray(rng.normal(0, 1, (2, 6, 4, 4)).astype(np.float32))
+
+    sn = SpatialNorm()
+    params = sn.init(jax.random.PRNGKey(0), f, zq)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(rng.normal(0, 0.1, a.shape), a.dtype), params
+    )
+    got = sn.apply({"params": params}, f, zq)
+
+    # reference formulation: resize first, then the 1x1 convs at full res
+    zq_full = resize_nearest(zq, f.shape[1:3])
+    norm_f = GroupNorm32(num_groups=32, eps=1e-6).apply(
+        {"params": params["norm_layer"]}, f
+    )
+    conv_y = dense(64, "y").apply({"params": params["conv_y"]}, zq_full)
+    conv_b = dense(64, "b").apply({"params": params["conv_b"]}, zq_full)
+    want = norm_f * conv_y + conv_b
+
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
